@@ -1,0 +1,171 @@
+"""Vectorized content-defined chunking kernel (numpy, Arrow-batch friendly).
+
+The reference's rolling recurrence (rabin.d:218-239) has a data-dependent
+table lookup per byte and cannot be vectorized as written.  But after 64
+slides the digest equals the Rabin fingerprint of exactly the last 64
+bytes (window purity, rabin.d:86-95), and GF(2) linearity decomposes that
+fingerprint into 64 independent byte-position table lookups:
+
+    fp(window) = XOR_{j=0..63} T_j[window[j]],   T_j[b] = (b·x^{8(63-j)}) mod P
+
+so the fingerprint of *every* window position of a buffer is a handful of
+vectorized gather+XOR passes, boundary candidates are
+``(fp & splitmask) == 0`` (expected density 2^-average_bits), and chunk
+selection is a trivial greedy walk over the sparse candidate list with
+the min/max clamps and EOF rule of SURVEY.md §2.2.
+
+Two speedups on top of the plain 64-gather formulation:
+
+* candidate detection only needs the low bits of the fingerprint (the
+  splitmask is below 2^32 for any practical ``average_bits``), so the
+  scan gathers from uint32 tables — half the memory traffic;
+* adjacent byte *pairs* are combined into one uint16 index, halving the
+  number of passes: 32 gathers from 65536-entry uint32 tables.
+
+Exact 64-bit cut fingerprints are then computed only at the chosen cut
+positions (a few per chunk) from the full uint64 tables.
+
+Verified bit-for-bit against the reference golden vectors (chunks1-4 and
+the min/max bounds list, package.d:336-439,552-568) via tests/.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from . import polynomials as poly
+from .chunker import Chunk, ChunkerParams
+from .rabin import WINDOW_SIZE
+
+
+@lru_cache(maxsize=8)
+def positional_tables(pol: int) -> tuple[np.ndarray, np.ndarray]:
+    """(T64, P32) lookup tables for a polynomial, cached per process
+    (one build per Spark executor interpreter, like the reference's
+    global table cache).
+
+    T64[j, b]  : uint64 full fingerprint contribution of byte b at
+                 window position j.
+    P32[j2, v] : uint32 low-32-bit contribution of the byte *pair*
+                 v = b_lo | b_hi<<8 at window positions (2*j2, 2*j2+1).
+    """
+    t64 = np.empty((WINDOW_SIZE, 256), dtype=np.uint64)
+    for j in range(WINDOW_SIZE):
+        shift = 8 * (WINDOW_SIZE - 1 - j)
+        for b in range(256):
+            t64[j, b] = poly.mod(b << shift, pol)
+    t32 = (t64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    # pair tables: P32[j2, lo | hi<<8] = T32[2j2, lo] ^ T32[2j2+1, hi]
+    lo = np.arange(65536, dtype=np.uint32) & 0xFF
+    hi = np.arange(65536, dtype=np.uint32) >> 8
+    p32 = np.empty((WINDOW_SIZE // 2, 65536), dtype=np.uint32)
+    for j2 in range(WINDOW_SIZE // 2):
+        p32[j2] = t32[2 * j2][lo] ^ t32[2 * j2 + 1][hi]
+    return t64, p32
+
+
+def fingerprints_low32(arr: np.ndarray, pol: int, k0: int = 0, k1: int | None = None) -> np.ndarray:
+    """Low 32 fingerprint bits for windows ``arr[k:k+64]``, k in [k0, k1).
+
+    ``fp32[k - k0]`` is the fingerprint of ``arr[k : k+64]`` — the
+    rolling digest observed just after sliding byte ``k+63``.  Indices
+    are pre-cast to ``intp`` once (numpy gathers run ~1.7x faster on
+    native index dtype) and each pass gathers into a reused buffer.
+    """
+    n = arr.shape[0]
+    if k1 is None:
+        k1 = n - WINDOW_SIZE + 1
+    w = k1 - k0
+    if w <= 0:
+        return np.empty(0, dtype=np.uint32)
+    _, p32 = positional_tables(pol)
+    # uint16 pair stream over the touched byte range:
+    # pairs[m - k0] = arr[m] | arr[m+1] << 8, m in [k0, k1 + 62)
+    m1 = k1 + WINDOW_SIZE - 2
+    pairs = arr[k0:m1].astype(np.intp)
+    pairs |= arr[k0 + 1 : m1 + 1].astype(np.intp) << 8
+    fp = p32[0][pairs[:w]]
+    tmp = np.empty(w, dtype=np.uint32)
+    for j2 in range(1, WINDOW_SIZE // 2):
+        np.take(p32[j2], pairs[2 * j2 : 2 * j2 + w], out=tmp, mode="clip")
+        fp ^= tmp
+    return fp
+
+
+def _fp64_at(arr: np.ndarray, end_idx: np.ndarray, pol: int) -> np.ndarray:
+    """Exact uint64 fingerprints of the windows *ending at* (inclusive)
+    each index in ``end_idx`` — used only at the sparse cut positions."""
+    t64, _ = positional_tables(pol)
+    start = end_idx - (WINDOW_SIZE - 1)
+    out = np.zeros(len(end_idx), dtype=np.uint64)
+    for j in range(WINDOW_SIZE):
+        out ^= t64[j][arr[start + j]]
+    return out
+
+
+def _eof_cut(data: bytes, s: int, params: ChunkerParams) -> int:
+    """Cut fingerprint of a final chunk shorter than min_size: the
+    digest is the plain (non-rolling) fingerprint of 0x01 followed by
+    whatever tail got hashed (< 64 bytes, window never filled)."""
+    pre = params.min_size - WINDOW_SIZE
+    tail = data[s + pre :] if len(data) - s > pre else b""
+    fp = 1  # fingerprint of the initial 0x01 byte
+    for b in tail:
+        fp = poly.mod((fp << 8) | b, params.pol)
+    return fp
+
+
+def chunk_buffer(data: bytes, params: ChunkerParams = ChunkerParams()) -> list[Chunk]:
+    """Chunk one in-memory buffer; bit-for-bit equal to the scalar
+    oracle (chunker.chunk_spans) and hence to the reference."""
+    n = len(data)
+    if n == 0:
+        return []
+    min_size, max_size = params.min_size, params.max_size
+    if n < min_size:
+        # single short chunk, no scan needed (the common case for
+        # source-code rows at default params)
+        return [Chunk(0, n, _eof_cut(data, 0, params))]
+
+    if params.splitmask >> 32:
+        raise ValueError("average_bits > 32 is not supported")
+    arr = np.frombuffer(data, dtype=np.uint8)
+    mask32 = np.uint32(params.splitmask & 0xFFFFFFFF)
+    # Evaluate fingerprints lazily, only over scan regions: bytes below
+    # s+min_size are never boundary-checked (the reference's pre-skip +
+    # warm-up), and scanning stops at the first candidate — so work in
+    # blocks of ~half the average chunk size.  At default params this
+    # skips ~50% of all hashing.
+    block = max(1 << 16, 1 << (params.average_bits - 1))
+
+    spans: list[tuple[int, int]] = []  # (start, cut_pos)
+    s = 0
+    while s < n:
+        lo, hi = s + min_size, min(s + max_size, n)
+        c = hi
+        # check positions c' in [lo, hi) → fp indices k = c' - 64
+        k = lo - WINDOW_SIZE
+        while k < hi - WINDOW_SIZE:
+            k_end = min(k + block, hi - WINDOW_SIZE)
+            fp32 = fingerprints_low32(arr, params.pol, k, k_end)
+            cand = np.flatnonzero((fp32 & mask32) == 0)
+            if len(cand):
+                # low-32-bit match is exact: mask < 2^32
+                c = k + int(cand[0]) + WINDOW_SIZE
+                break
+            k = k_end
+        spans.append((s, c))
+        s = c
+
+    # exact cut fingerprints, computed only at cut positions
+    cuts = np.empty(len(spans), dtype=np.uint64)
+    ends = np.array([e for _, e in spans], dtype=np.int64)
+    full = ends - np.array([st for st, _ in spans], dtype=np.int64) >= min_size
+    if full.any():
+        cuts[full] = _fp64_at(arr, ends[full] - 1, params.pol)
+    for i in np.flatnonzero(~full):
+        # final short chunk (EOF before min_size)
+        cuts[i] = _eof_cut(data, spans[i][0], params)
+    return [Chunk(st, e - st, int(cut)) for (st, e), cut in zip(spans, cuts)]
