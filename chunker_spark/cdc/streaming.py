@@ -1,0 +1,101 @@
+"""Structured Streaming ingest: tail a binlog directory, merge per batch.
+
+The CDC log is a directory of append-only parquet segment files; Spark's
+file streaming source tracks consumed files in the checkpoint offset WAL
+(per-partition offsets), giving lossless resume: after a crash the next
+start re-delivers exactly the uncommitted tail, and the lake's
+``batch_id`` idempotency gate (merge.apply_batch) turns re-delivered
+batches into no-ops — together: exactly-once end-to-end effects.
+
+Metrics/lineage: one row per (batch, bucket) appended to a parquet table
+under ``<lake>/metrics`` after each commit, plus the commit's own stats
+JSON — both observable while the stream runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from ..kernel.chunker import ChunkerParams
+from .events import EVENT_SCHEMA, SOURCE_PARAMS
+from .lake import LakeTable
+from .merge import apply_batch
+
+
+def _append_metrics(lake: LakeTable, commit: dict, batch_id: int) -> None:
+    spark = lake.spark
+    stats = commit.get("stats", {})
+    per_bucket = stats.get("keys_per_bucket", {}) or {"-1": 0}
+    rows = [
+        (
+            int(commit["commit_seq"]),
+            str(batch_id),
+            int(b),
+            int(n),
+            int(stats.get("upsert_rows", 0)),
+            int(stats.get("upsert_bytes", 0)),
+            int(stats.get("upsert_chunks", 0)),
+            int(stats.get("reused_chunks", 0)),
+            int(stats.get("delete_rows", 0)),
+        )
+        for b, n in per_bucket.items()
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "commit_seq long, batch_id string, bucket int, bucket_keys int, "
+        "upsert_rows long, upsert_bytes long, upsert_chunks long, "
+        "reused_chunks long, delete_rows long",
+    )
+    df.coalesce(1).write.mode("append").parquet(f"{lake.root}/metrics")
+
+
+class IngestStream:
+    """Owns the readStream → foreachBatch(merge) → checkpoint loop."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        lake: LakeTable,
+        events_dir: str,
+        checkpoint_dir: str,
+        params: ChunkerParams = SOURCE_PARAMS,
+        max_files_per_trigger: int | None = None,
+        fail_after_batches: int | None = None,  # test hook: simulated crash
+    ) -> None:
+        self.spark = spark
+        self.lake = lake
+        self.events_dir = events_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.params = params
+        self.max_files_per_trigger = max_files_per_trigger
+        self.fail_after_batches = fail_after_batches
+        self.batches_seen = 0
+
+    def _handle_batch(self, df, batch_id: int) -> None:
+        commit = apply_batch(self.lake, df, batch_id, params=self.params)
+        if commit is not None:
+            _append_metrics(self.lake, commit, batch_id)
+        self.batches_seen += 1
+        if self.fail_after_batches and self.batches_seen >= self.fail_after_batches:
+            # simulated crash AFTER the lake commit but BEFORE Spark
+            # records the batch in the checkpoint commit log — the worst
+            # case for exactly-once: the batch will be re-delivered.
+            raise RuntimeError("injected crash after lake commit")
+
+    def run_available(self) -> None:
+        """Process everything currently in the log, then stop
+        (Trigger.AvailableNow — respects max_files_per_trigger)."""
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        reader = self.spark.readStream.schema(EVENT_SCHEMA)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        stream = reader.parquet(self.events_dir)
+        query = (
+            stream.writeStream.foreachBatch(self._handle_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()

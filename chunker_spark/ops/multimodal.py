@@ -1,0 +1,133 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video content is carried as ``binary`` columns with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run as
+``mapInPandas`` stages over Arrow batches. The decode step itself is
+STUBBED (no imaging/audio libraries in this container): by default every
+stage uses a deterministic fake decoder keyed on the payload bytes, and
+``decoder="real"`` raises NotImplementedError at the exact seam where
+PIL/ffmpeg would plug in. The Spark-side plumbing — schema, batch
+iteration, partition sizing — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("meta", StructType([
+            StructField("format", StringType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("duration_ms", LongType(), True),
+        ]), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload_sha256", StringType(), False),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: a unit vector seeded
+    by the payload digest. Replace with PIL/torchaudio/ffmpeg here."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+def extract_features(
+    media: DataFrame, dim: int = 16, decoder: str = "fake", batch_limit: int = 256
+) -> DataFrame:
+    """media table -> feature table via mapInPandas.
+
+    ``decoder='real'`` marks where an actual image/audio decode would
+    run; unavailable in this environment by design.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real media decoding requires PIL/ffmpeg, not present in this "
+            "container; use decoder='fake' (deterministic) for plumbing tests"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            # bound per-output-batch size: payloads may be large
+            for lo in range(0, len(b), batch_limit):
+                part = b.iloc[lo : lo + batch_limit]
+                payloads = part["payload"].map(lambda p: bytes(p) if p is not None else b"")
+                yield pd.DataFrame(
+                    {
+                        "media_id": part["media_id"],
+                        "kind": part["kind"],
+                        "payload_sha256": payloads.map(
+                            lambda p: hashlib.sha256(p).hexdigest()
+                        ),
+                        "feature": payloads.map(lambda p: _fake_decode(p, dim).tolist()),
+                    }
+                )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    timestamp (JVM-side sequence explode; the decode of each frame is
+    the stubbed seam above)."""
+    vids = media.where(F.col("kind") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
+    """Deterministic media fixture (binary payloads of varied size)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.integers(0, 256, size=int(rng.integers(64, 4096)), dtype=np.uint8).tobytes()
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(payload),
+                {
+                    "format": {"image": "png", "audio": "wav", "video": "mp4"}[kind],
+                    "width": 640 if kind != "audio" else None,
+                    "height": 480 if kind != "audio" else None,
+                    "duration_ms": int(rng.integers(1000, 10000)) if kind != "image" else None,
+                },
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

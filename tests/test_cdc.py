@@ -1,0 +1,160 @@
+"""T4 + T5: replay equivalence vs the single-threaded oracle (including
+schema evolution) and exactly-once resume-after-kill (SURVEY.md §5.2)."""
+
+import glob
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from chunker_spark.cdc import (
+    EVENT_SCHEMA,
+    GenSpec,
+    IngestStream,
+    LakeTable,
+    apply_batch,
+    gen_events_local,
+    normalize_events,
+    replay,
+    state_digest,
+    state_rows,
+    write_segments,
+)
+from chunker_spark.kernel import ChunkerParams
+
+PARAMS = ChunkerParams(average_bits=9, min_size=256, max_size=4096)
+SPEC = GenSpec(
+    seed=42,
+    n_keys=60,
+    mean_blocks=4,
+    schema_ver_plan=((150, 2), (300, 3)),  # +branch at seq 150, rename at 300
+)
+N_EVENTS = 450
+
+COMPARE_COLS = ["repo", "path", "commit", "language", "branch", "content_sha256"]
+
+
+def _events_df(spark, events):
+    pdf = pd.DataFrame(events)[[f.name for f in EVENT_SCHEMA.fields]]
+    return spark.createDataFrame(pdf, EVENT_SCHEMA)
+
+
+def _assert_state_equals_oracle(spark, lake, events):
+    got = lake.read().select(*COMPARE_COLS)
+    exp_rows = state_rows(replay(events))
+    exp = spark.createDataFrame(pd.DataFrame(exp_rows)[COMPARE_COLS])
+    # set equality both directions (T4 contract)
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    assert got.count() == len(exp_rows)
+    return exp_rows
+
+
+def test_batch_replay_equivalence(spark, tmp_path):
+    """Apply the full stream as 3 batches; final state == oracle,
+    including column-add and rename mid-stream."""
+    events = list(gen_events_local(SPEC, N_EVENTS))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=8)
+    for i, lo in enumerate(range(0, N_EVENTS, 150)):
+        commit = apply_batch(lake, _events_df(spark, events[lo : lo + 150]), f"b{i}", params=PARAMS)
+        assert commit is not None
+    rows = _assert_state_equals_oracle(spark, lake, events)
+    # manifests exist and tile content for surviving rows
+    bad = (
+        lake.read()
+        .where(F.col("content").isNotNull())
+        .where(F.aggregate(F.col("manifest"), F.lit(0).cast("long"), lambda a, c: a + c["length"]) != F.col("size"))
+        .count()
+    )
+    assert bad == 0
+    assert state_digest(rows)  # digest is computable and stable
+
+
+def test_batch_idempotent_replay(spark, tmp_path):
+    """Re-delivering a committed batch is a no-op (exactly-once)."""
+    events = list(gen_events_local(SPEC, 120))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4)
+    df = _events_df(spark, events)
+    assert apply_batch(lake, df, "batch-0", params=PARAMS) is not None
+    before = sorted(r["commit"] for r in lake.read().select("commit").collect())
+    assert apply_batch(lake, df, "batch-0", params=PARAMS) is None  # replay
+    after = sorted(r["commit"] for r in lake.read().select("commit").collect())
+    assert before == after
+    assert len(lake._commit_files()) == 1
+
+
+def test_last_writer_wins_within_batch(spark, tmp_path):
+    """Multiple updates to one key inside a batch → max-seq row wins."""
+    ev = list(gen_events_local(GenSpec(seed=1, n_keys=2, mean_blocks=2), 10))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    apply_batch(lake, _events_df(spark, ev), "b0", params=PARAMS)
+    _assert_state_equals_oracle(spark, lake, ev)
+
+
+def test_streaming_replay_and_metrics(spark, tmp_path):
+    """Stream the segmented log end-to-end; state == oracle; lineage
+    metrics rows recorded per (batch, bucket)."""
+    events = list(gen_events_local(SPEC, N_EVENTS))
+    seg_dir = str(tmp_path / "segments")
+    write_segments(spark, SPEC, N_EVENTS, seg_dir, n_segments=5)
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=8)
+    stream = IngestStream(
+        spark, lake, seg_dir, str(tmp_path / "ckpt"), params=PARAMS, max_files_per_trigger=2
+    )
+    stream.run_available()
+    _assert_state_equals_oracle(spark, lake, events)
+    metrics = spark.read.parquet(f"{lake.root}/metrics")
+    assert metrics.count() > 0
+    assert metrics.where(F.col("upsert_chunks") <= 0).count() == 0
+    # chunk reuse observed: updates share chunks with prior versions
+    assert metrics.select(F.sum("reused_chunks")).collect()[0][0] > 0
+
+
+def test_streaming_resume_after_kill(spark, tmp_path):
+    """Crash injected after the lake commit of batch 2 but before the
+    checkpoint records it — the worst case. Restart must re-deliver
+    that batch, the idempotency gate must no-op it, and the final
+    state must equal an uninterrupted run's."""
+    events = list(gen_events_local(SPEC, N_EVENTS))
+    seg_dir = str(tmp_path / "segments")
+    write_segments(spark, SPEC, N_EVENTS, seg_dir, n_segments=6)
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+
+    crashing = IngestStream(
+        spark, lake, seg_dir, ckpt, params=PARAMS, max_files_per_trigger=1, fail_after_batches=2
+    )
+    with pytest.raises(Exception):
+        crashing.run_available()
+    committed_mid = len(lake._commit_files())
+    assert committed_mid >= 1
+
+    # restart from the same checkpoint: finishes the log losslessly
+    resumed = IngestStream(spark, lake, seg_dir, ckpt, params=PARAMS, max_files_per_trigger=1)
+    resumed.run_available()
+    _assert_state_equals_oracle(spark, lake, events)
+    # every lake commit has a distinct batch_id: nothing applied twice
+    import json
+
+    ids = [
+        json.load(open(p))["batch_id"]
+        for p in sorted(glob.glob(f"{lake.root}/meta/commit-*.json"))
+    ]
+    assert len(ids) == len(set(ids))
+    assert len(ids) == 6  # one commit per segment batch, no duplicates
+
+
+def test_schema_normalization(spark):
+    """Canonical projection: v1 rows get branch='main' and language
+    from `lang`; v3 rows read `language` directly."""
+    events = [
+        dict(seq=0, ts=pd.Timestamp("2026-01-01", tz="UTC"), op="I", repo="r", path="p1",
+             commit="c1", lang="py", language=None, branch=None, content="x", schema_ver=1),
+        dict(seq=1, ts=pd.Timestamp("2026-01-01", tz="UTC"), op="I", repo="r", path="p2",
+             commit="c2", lang="go", language=None, branch="dev", content="y", schema_ver=2),
+        dict(seq=2, ts=pd.Timestamp("2026-01-01", tz="UTC"), op="I", repo="r", path="p3",
+             commit="c3", lang=None, language="rs", branch="main", content="z", schema_ver=3),
+    ]
+    df = normalize_events(_events_df(spark, events))
+    got = {r["path"]: (r["language"], r["branch"]) for r in df.collect()}
+    assert got == {"p1": ("py", "main"), "p2": ("go", "dev"), "p3": ("rs", "main")}
