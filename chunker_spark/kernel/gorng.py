@@ -91,6 +91,8 @@ class GoRand:
 
     def uint64_array(self, count: int) -> np.ndarray:
         """Next ``count`` uint64 draws as a numpy array."""
+        if count <= 0:
+            return np.empty(0, dtype=np.uint64)
         blocks = []
         have = 0
         while have < count:

@@ -81,16 +81,25 @@ def fingerprints_low32(arr: np.ndarray, pol: int, k0: int = 0, k1: int | None = 
     if w <= 0:
         return np.empty(0, dtype=np.uint32)
     _, p32 = positional_tables(pol)
-    # uint16 pair stream over the touched byte range:
-    # pairs[m - k0] = arr[m] | arr[m+1] << 8, m in [k0, k1 + 62)
-    m1 = k1 + WINDOW_SIZE - 2
-    pairs = arr[k0:m1].astype(np.intp)
-    pairs |= arr[k0 + 1 : m1 + 1].astype(np.intp) << 8
-    fp = p32[0][pairs[:w]]
-    tmp = np.empty(w, dtype=np.uint32)
-    for j2 in range(1, WINDOW_SIZE // 2):
-        np.take(p32[j2], pairs[2 * j2 : 2 * j2 + w], out=tmp, mode="clip")
-        fp ^= tmp
+    fp = np.empty(w, dtype=np.uint32)
+    # Tile the scan so the pair-index slice stays L2-resident across all
+    # 32 gather passes — streaming the whole index array from DRAM per
+    # pass costs ~2x at multi-MB inputs.
+    tile = 1 << 16
+    tmp = np.empty(min(w, tile), dtype=np.uint32)
+    for t0 in range(k0, k1, tile):
+        t1 = min(t0 + tile, k1)
+        tw = t1 - t0
+        # uint16 pair stream: pairs[m - t0] = arr[m] | arr[m+1] << 8
+        m1 = t1 + WINDOW_SIZE - 2
+        pairs = arr[t0:m1].astype(np.intp)
+        pairs |= arr[t0 + 1 : m1 + 1].astype(np.intp) << 8
+        o0 = t0 - k0
+        np.take(p32[0], pairs[:tw], out=fp[o0 : o0 + tw], mode="clip")
+        view = tmp[:tw]
+        for j2 in range(1, WINDOW_SIZE // 2):
+            np.take(p32[j2], pairs[2 * j2 : 2 * j2 + tw], out=view, mode="clip")
+            fp[o0 : o0 + tw] ^= view
     return fp
 
 
@@ -108,12 +117,18 @@ def _fp64_at(arr: np.ndarray, end_idx: np.ndarray, pol: int) -> np.ndarray:
 def _eof_cut(data: bytes, s: int, params: ChunkerParams) -> int:
     """Cut fingerprint of a final chunk shorter than min_size: the
     digest is the plain (non-rolling) fingerprint of 0x01 followed by
-    whatever tail got hashed (< 64 bytes, window never filled)."""
+    whatever tail got hashed (< 64 bytes, window never filled).
+
+    Computed from the positional tables: byte at distance d from the
+    end contributes T64[63-d][b] (T64[j][b] = b·x^{8(63-j)} mod P), and
+    the leading 0x01 sits at distance len(tail)."""
     pre = params.min_size - WINDOW_SIZE
     tail = data[s + pre :] if len(data) - s > pre else b""
-    fp = 1  # fingerprint of the initial 0x01 byte
-    for b in tail:
-        fp = poly.mod((fp << 8) | b, params.pol)
+    t64, _ = positional_tables(params.pol)
+    last = WINDOW_SIZE - 1
+    fp = int(t64[last - len(tail)][1])  # the 0x01 marker byte
+    for i, b in enumerate(tail):
+        fp ^= int(t64[last - (len(tail) - 1 - i)][b])
     return fp
 
 
@@ -169,3 +184,92 @@ def chunk_buffer(data: bytes, params: ChunkerParams = ChunkerParams()) -> list[C
         # final short chunk (EOF before min_size)
         cuts[i] = _eof_cut(data, spans[i][0], params)
     return [Chunk(st, e - st, int(cut)) for (st, e), cut in zip(spans, cuts)]
+
+
+#: documents larger than this take the lazy per-buffer path; smaller
+#: ones amortize numpy fixed costs through one concatenated pass
+_BATCH_DOC_LIMIT = 1 << 16
+
+
+def chunk_many(buffers: list[bytes], params: ChunkerParams = ChunkerParams()) -> list[list[Chunk]]:
+    """Chunk a batch of independent buffers (one Arrow batch of rows).
+
+    Semantically identical to ``[chunk_buffer(b) for b in buffers]`` but
+    amortizes the vectorized passes: small documents are concatenated
+    into one byte array, fingerprinted in a single set of gather passes,
+    and their boundary candidates selected per document from the global
+    candidate list. Valid because a window never straddles a checked
+    position's document start: checks happen only at offsets
+    >= min_size >= 64 into each document, where the 64-byte window lies
+    entirely inside that document (window purity, SURVEY.md §2.2.7).
+
+    Documents below ``min_size`` are single chunks with an EOF cut and
+    need no hashing at all; documents above 64 KiB go through the lazy
+    segment scan of ``chunk_buffer``.
+    """
+    n_bufs = len(buffers)
+    out: list[list[Chunk] | None] = [None] * n_bufs
+    min_size, max_size = params.min_size, params.max_size
+    if params.splitmask >> 32:
+        raise ValueError("average_bits > 32 is not supported")
+    mask32 = np.uint32(params.splitmask & 0xFFFFFFFF)
+
+    batched: list[int] = []
+    for i, data in enumerate(buffers):
+        n = len(data)
+        if n == 0:
+            out[i] = []
+        elif n < min_size:
+            out[i] = [Chunk(0, n, _eof_cut(data, 0, params))]
+        elif n > _BATCH_DOC_LIMIT:
+            out[i] = chunk_buffer(data, params)
+        else:
+            batched.append(i)
+    if not batched:
+        return out
+
+    import bisect
+
+    blob = b"".join(buffers[i] for i in batched)
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    fp32 = fingerprints_low32(arr, params.pol)
+    cand: list[int] = (np.flatnonzero((fp32 & mask32) == 0) + WINDOW_SIZE).tolist()
+    nc = len(cand)
+
+    # pass 1: select spans (plain ints + bisect — cheap per chunk) and
+    # collect every full-window cut position for ONE batched fp64 gather
+    doc_spans: list[list[tuple[int, int]]] = []
+    fp64_pos: list[int] = []
+    fp64_ref: list[tuple[int, int]] = []  # (doc#, span#) -> fp64 index
+    base = 0
+    for d, i in enumerate(batched):
+        n = len(buffers[i])
+        spans: list[tuple[int, int]] = []  # doc-relative
+        s = 0
+        while s < n:
+            lo, hi = s + min_size, min(s + max_size, n)
+            ci = bisect.bisect_left(cand, base + lo)
+            c = cand[ci] - base if ci < nc and cand[ci] < base + hi else hi
+            if c - s >= min_size:
+                fp64_ref.append((d, len(spans)))
+                fp64_pos.append(base + c - 1)
+            spans.append((s, c))
+            s = c
+        doc_spans.append(spans)
+        base += n
+
+    fp64 = (
+        _fp64_at(arr, np.asarray(fp64_pos, dtype=np.int64), params.pol)
+        if fp64_pos
+        else np.empty(0, dtype=np.uint64)
+    )
+    cuts: list[list[int | None]] = [[None] * len(s) for s in doc_spans]
+    for (d, j), v in zip(fp64_ref, fp64.tolist()):
+        cuts[d][j] = v
+    for d, i in enumerate(batched):
+        data = buffers[i]
+        out[i] = [
+            Chunk(st, e - st, cuts[d][j] if cuts[d][j] is not None else _eof_cut(data, st, params))
+            for j, (st, e) in enumerate(doc_spans[d])
+        ]
+    return out

@@ -27,7 +27,7 @@ from pyspark.sql.types import ArrayType, LongType
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per exact normalized text.
     Aggregates on a 64-bit fingerprint, never shuffling the text."""
-    norm = F.xxhash64(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    norm = F.xxhash64(F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))))
     return (
         df.withColumn("fp", norm)
         .groupBy("fp")

@@ -1,0 +1,141 @@
+"""Training-data operator tests: dedup, similarity, text, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chunker_spark.ops.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_expr,
+)
+from chunker_spark.ops.multimodal import extract_features, sample_frames, synthetic_media
+from chunker_spark.ops.similarity import brute_force_topk, lsh_bucketed_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the green forest where tall trees grow near the quiet river"
+    )
+    rows = [
+        (0, base, "en"),
+        (1, base, "en"),  # exact duplicate of 0
+        (2, base.replace("quiet", "loud"), "en"),  # near duplicate of 0
+        (3, "completely different content about databases and query engines "
+            "with columnar storage formats and vectorized execution", "en"),
+        (4, "der schnelle braune fuchs springt über den faulen hund und die "
+            "schönen wälder sind ruhig und die flüsse fließen schnell", "de"),
+        (5, "   THE   QUICK  brown fox jumps over the lazy dog and then runs far away "
+            "into the green forest where tall trees grow near the quiet river  ", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["doc_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    # doc 0 and 1 collapse (and 5 after whitespace-normalization+lower)
+    assert out[0] == 3
+    assert out[2] == 1 and out[3] == 1 and out[4] == 1
+
+
+def test_minhash_near_dup(spark, docs):
+    pairs = minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got  # identical → jaccard 1.0
+    assert (0, 2) in got or (1, 2) in got  # near-dup found
+    assert not any(3 in p for p in got)  # unrelated doc not paired
+    jac = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in pairs}
+    assert jac[(0, 1)] == 1.0
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(0, 1)] == 1.0
+    assert (0, 2) in got and 0.5 <= got[(0, 2)] < 1.0
+    assert (0, 3) not in got
+
+
+def test_simhash_similarity(spark, docs):
+    out = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", simhash_expr("text").alias("sh")).collect()}
+    assert out[0] == out[1]  # identical text → identical simhash
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(out[0], out[2]) < ham(out[0], out[3])  # near-dup closer
+
+
+def test_brute_force_topk_self_nearest(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, rng.standard_normal(8).tolist()) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 3").select(F.col("vec_id").alias("query_id"), "embedding")
+    top = brute_force_topk(df, q, k=3)
+    first = {r["query_id"]: r["vec_id"] for r in top.where("rank = 1").collect()}
+    assert first == {0: 0, 1: 1, 2: 2}  # each vector is its own nearest
+
+
+def test_lsh_topk_contains_self(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    vecs = [(i, rng.standard_normal(8).tolist()) for i in range(50)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    top = lsh_bucketed_topk(df, q, dim=8, k=3, bits=4)
+    first = {r["query_id"]: r["vec_id"] for r in top.where("rank = 1").collect()}
+    assert first == {i: i for i in range(5)}  # self always lands in own bucket
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=30)
+    feats = extract_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # deterministic: same payload → same feature
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, dim=8).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in rows)
+    # frame sampling only for videos, count matches duration
+    frames = sample_frames(media, every_ms=1000)
+    per = frames.groupBy("media_id").count().collect()
+    durs = {r["media_id"]: r["meta"]["duration_ms"] for r in media.where("kind='video'").collect()}
+    for r in per:
+        assert r["count"] == (durs[r["media_id"]] - 1) // 1000 + 1
+
+
+def test_real_decoder_is_stubbed(spark):
+    media = synthetic_media(spark, n=3)
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decoder="real")
+
+
+def test_text_functions(spark):
+    from chunker_spark.functions.text import (
+        doc_fingerprint,
+        language_id_udf,
+        quality_score,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "The cat and the dog are in the house, it is warm."),
+         (1, "Der Hund und die Katze schlafen in der schönen Wohnung ich."),
+         (2, "zzz!!!")],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        token_count("text").alias("toks"),
+        quality_score("text").alias("q"),
+        doc_fingerprint("text").alias("fp"),
+        language_id_udf()(F.col("text")).alias("lang"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[0]["toks"] == 14  # 12 words + comma + period
+    assert by_id[0]["lang"] == "en"
+    assert by_id[1]["lang"] == "de"
+    assert by_id[0]["q"] > by_id[2]["q"]
+    assert by_id[0]["fp"] != by_id[1]["fp"]
