@@ -262,6 +262,37 @@ GROUP BY user_id
 """
 
 
+def q_events_minutely(spark, sf):
+    """Tumbling-window stream metrics: per-minute event counts and
+    value sums per event type (the streaming metrics rollup shape,
+    SURVEY.md §2.3, run here on the batch events table)."""
+    e = _t(spark, sf, "events")
+    win = F.window(F.col("ts"), "1 minute")
+    return (
+        e.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 4).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("minute_epoch"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+SQL_EVENTS_MINUTELY = """
+SELECT CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS minute_epoch,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 4) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_doc_sha256(spark, sf):
     """The content-sha256 invariant column (BASELINE.json input_hint)."""
     d = _t(spark, sf, "documents")
@@ -494,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "events_lww": q_events_lww,
         "events_gap_audit": q_events_gap_audit,
+        "events_minutely": q_events_minutely,
         "doc_sha256": q_doc_sha256,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -519,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "events_lww": SQL_EVENTS_LWW,
         "events_gap_audit": SQL_EVENTS_GAP_AUDIT,
+        "events_minutely": SQL_EVENTS_MINUTELY,
         "doc_sha256": SQL_DOC_SHA256,
         "doc_tokens": SQL_DOC_TOKENS,
         "doc_quality": SQL_DOC_QUALITY,

@@ -15,8 +15,10 @@ scale:
    pmod S`` spreads a hot (repo,path) key over S partitions for the
    CPU-heavy chunking stage (AQE cannot split a hot key inside a UDF
    stage; mandated by BASELINE.json north_rule).
-5. **Bucket-pruned CoW MERGE** — only buckets containing touched keys
-   are read and rewritten; update side is broadcast when small.
+5. **Merge-on-read delta commit** — the batch's upserts + tombstones
+   append as new bucket-partitioned files (O(batch) write volume);
+   readers resolve last-writer-wins per key and compaction keeps
+   per-bucket file counts bounded (lake.py).
 6. **Lineage/metrics** — per-bucket row/byte/chunk counts and chunk
    reuse (skip-on-update) recorded with the commit.
 """
@@ -36,18 +38,31 @@ from .schema import KEY_COLS, TABLE_SCHEMA, normalize_events
 BROADCAST_THRESHOLD_ROWS = 2_000_000
 
 
-def last_writer_wins(events: DataFrame) -> DataFrame:
+def last_writer_wins(events: DataFrame, broadcast_winners: bool = True) -> DataFrame:
     """Reduce a batch to its final event per key by max ``seq``.
 
-    ``max_by(struct(all), seq)`` aggregates with partial combine on the
-    map side — at 10^10 scale this shuffles one row per key per task,
-    not one per event, so a monorepo key costs O(tasks), not O(events).
+    Default strategy: aggregate only ``(repo, path, max(seq))`` — a few
+    bytes per key — then broadcast semi-join the events against the
+    winners. The wide ``content`` column never enters a shuffle here
+    (payload bytes move exactly once per batch, in the salted
+    repartition before the chunking UDF). Requires ``seq`` unique
+    within a batch, which a binlog/WAL offset is by construction.
+
+    Fallback (``broadcast_winners=False``): single-shuffle
+    ``max_by(struct(*), seq)`` grouped by key, for batches whose key
+    cardinality is too large for a broadcast (partial map-side combine
+    still bounds hot-key cost at O(tasks)).
     """
-    payload = F.struct(*[F.col(c) for c in events.columns])
-    return (
-        events.groupBy(*KEY_COLS)
-        .agg(F.max_by(payload, F.col("seq")).alias("e"))
-        .select("e.*")
+    if not broadcast_winners:
+        payload = F.struct(*[F.col(c) for c in events.columns])
+        return (
+            events.groupBy(*KEY_COLS)
+            .agg(F.max_by(payload, F.col("seq")).alias("e"))
+            .select("e.*")
+        )
+    winners = events.groupBy(*KEY_COLS).agg(F.max("seq").alias("seq"))
+    return events.join(
+        F.broadcast(winners), on=[*KEY_COLS, "seq"], how="left_semi"
     )
 
 
@@ -75,16 +90,16 @@ def apply_batch(
 
     events = normalize_events(raw_events)
     # One cached DataFrame carries the whole reduced batch (upserts with
-    # manifests + delete markers): the source is read once, the chunking
-    # UDF runs once, and every downstream job (bucket discovery, MERGE
-    # write, stats) reuses the materialized rows. Deletes have null
-    # content, so the manifest UDF passes them through as null.
+    # manifests + delete tombstones): the source is read once and the
+    # chunking UDF runs once; the delta write and stats reuse the
+    # materialized rows. Deletes have null content, so the manifest UDF
+    # passes them through as null.
     parts = udf_partitions or spark.sparkContext.defaultParallelism
     batch = with_manifest(
         salted_repartition(last_writer_wins(events), parts), params=params
     ).cache()
     try:
-        # ---- bucket pruning: which buckets does this batch touch? ----
+        # ---- bucket stats (skew observability + commit metadata) ----
         nb = lake.num_buckets
         per_bucket = {
             int(r["b"]): int(r["n"])
@@ -93,28 +108,25 @@ def apply_batch(
             .collect()
         }
         touched = sorted(per_bucket)
-        old = lake.read(buckets=touched)
 
-        upsert_rows = batch.where(F.col("op") != "D").select(
-            *[F.col(f.name) for f in TABLE_SCHEMA.fields]
+        # merge-on-read delta: upserts keep their seq; deletes become
+        # tombstones. No table read, no join — the MERGE "match" is
+        # resolved lazily by readers (lake.resolve_state) and physically
+        # by amortized compaction. Write volume is O(batch).
+        delta = batch.select(
+            *[F.col(f.name) for f in TABLE_SCHEMA.fields],
+            F.col("seq"),
+            (F.col("op") == "D").alias("deleted"),
         )
-        # MERGE join: table side streams, batch-key side broadcasts —
-        # a micro-batch's key set (strings only, no content) is orders
-        # of magnitude smaller than table state; broadcasting avoids
-        # shuffling the touched buckets entirely. If a trigger ever
-        # produces a giant batch, AQE's size check will fail the build
-        # side and the caller should split the trigger instead.
-        keys = F.broadcast(batch.select(*KEY_COLS))
-        survivors = old.join(keys, on=list(KEY_COLS), how="left_anti")
-        new_state = survivors.unionByName(upsert_rows)
 
         if collect_metrics:
+            upserts = batch.where(F.col("op") != "D")
             deletes = batch.where(F.col("op") == "D").select(*KEY_COLS)
-            stats = _batch_stats(upsert_rows, deletes, old)
+            stats = _batch_stats(upserts, deletes, lake.read(buckets=touched))
         else:
             stats = {}
         stats["keys_per_bucket"] = {str(b): n for b, n in per_bucket.items()}
-        commit = lake.overwrite_buckets(new_state, touched, str(batch_id), stats=stats)
+        commit = lake.append_delta(delta, touched, str(batch_id), stats=stats)
         return commit
     finally:
         batch.unpersist()

@@ -52,6 +52,17 @@ TABLE_SCHEMA = StructType(
     ]
 )
 
+from pyspark.sql.types import BooleanType  # noqa: E402
+
+#: physical file schema: table columns + merge-on-read bookkeeping.
+#: ``seq`` orders row versions across delta files; ``deleted`` marks
+#: tombstones. Readers resolve max-seq per key and drop tombstones.
+FILE_SCHEMA = StructType(
+    [*TABLE_SCHEMA.fields,
+     StructField("seq", LongType(), True),
+     StructField("deleted", BooleanType(), True)]
+)
+
 KEY_COLS = ("repo", "path")
 
 

@@ -63,6 +63,7 @@ class IngestStream:
         params: ChunkerParams = SOURCE_PARAMS,
         max_files_per_trigger: int | None = None,
         fail_after_batches: int | None = None,  # test hook: simulated crash
+        dedup_watermark: str | None = None,  # e.g. "10 minutes"
     ) -> None:
         self.spark = spark
         self.lake = lake
@@ -71,6 +72,7 @@ class IngestStream:
         self.params = params
         self.max_files_per_trigger = max_files_per_trigger
         self.fail_after_batches = fail_after_batches
+        self.dedup_watermark = dedup_watermark
         self.batches_seen = 0
 
     def _handle_batch(self, df, batch_id: int) -> None:
@@ -92,6 +94,12 @@ class IngestStream:
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
         stream = reader.parquet(self.events_dir)
+        if self.dedup_watermark:
+            # event-time dedup for at-least-once upstream producers:
+            # duplicate seq values within the watermark are dropped with
+            # bounded state (idempotent commits remain the primary
+            # exactly-once mechanism — this guards the producer side)
+            stream = stream.withWatermark("ts", self.dedup_watermark).dropDuplicates(["seq"])
         query = (
             stream.writeStream.foreachBatch(self._handle_batch)
             .option("checkpointLocation", self.checkpoint_dir)

@@ -58,6 +58,12 @@ class RabinHash:
         self.wpos = 0
         self.digest = 0
 
+    def finish(self) -> int:
+        """Return the current digest, then reset (rabin.d:42-47)."""
+        d = self.digest
+        self.start()
+        return d
+
     def slide(self, b: int) -> None:
         """Slide byte ``b`` in and the oldest window byte out."""
         w = self.window

@@ -1,0 +1,48 @@
+"""Watermark + dropDuplicates producer-side dedup (SURVEY.md §2.3)."""
+
+import glob
+import shutil
+
+from chunker_spark.cdc import (
+    GenSpec,
+    IngestStream,
+    LakeTable,
+    gen_events_local,
+    replay,
+    state_rows,
+    write_segments,
+)
+from chunker_spark.kernel import ChunkerParams
+
+PARAMS = ChunkerParams(average_bits=9, min_size=256, max_size=4096)
+
+
+def test_duplicate_events_dropped(spark, tmp_path):
+    """Duplicate a whole segment (at-least-once producer): with
+    dedup_watermark the duplicates are dropped and the final state
+    still equals the oracle over the original stream."""
+    spec = GenSpec(seed=5, n_keys=30, mean_blocks=3)
+    events = list(gen_events_local(spec, 200))
+    seg_dir = str(tmp_path / "segments")
+    write_segments(spark, spec, 200, seg_dir, n_segments=4)
+    # duplicate segment 1 as a new file (same rows, same seqs)
+    src = sorted(glob.glob(f"{seg_dir}/segment-*.parquet"))[1]
+    shutil.copy(src, f"{seg_dir}/segment-00009.parquet")
+
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4)
+    stream = IngestStream(
+        spark,
+        lake,
+        seg_dir,
+        str(tmp_path / "ckpt"),
+        params=PARAMS,
+        dedup_watermark="10 minutes",
+    )
+    stream.run_available()
+
+    got = lake.read().select("repo", "path", "commit", "content_sha256")
+    exp_rows = state_rows(replay(events))
+    assert got.count() == len(exp_rows)
+    got_keys = {(r["repo"], r["path"], r["commit"]) for r in got.collect()}
+    exp_keys = {(r["repo"], r["path"], r["commit"]) for r in exp_rows}
+    assert got_keys == exp_keys
