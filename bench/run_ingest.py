@@ -12,7 +12,8 @@ Usage:
       [--batches 8] [--out /tmp/lake] [--skip-verify]
 
 Prints one JSON line:
-  {"metric": "cdc_ingest_events_per_sec", "value": ..., "unit": "events/s",
+  {"metric": "cdc_ingest_events_per_sec",
+                "mode": "stream" if args.segments else "synth", "value": ..., "unit": "events/s",
    "events": N, "parallelism": P, "elapsed_sec": ..., "state_sha256": ...,
    "verified": true}
 """
@@ -21,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -66,18 +68,46 @@ def main() -> None:
     ap.add_argument("--out", type=str, default="")
     ap.add_argument("--skip-verify", action="store_true")
     ap.add_argument("--metrics", action="store_true", help="collect per-batch lineage stats")
+    ap.add_argument("--mean-kb", type=int, default=8, help="mean content size per file")
+    ap.add_argument(
+        "--segments",
+        type=str,
+        default="",
+        help="pre-materialized binlog dir (see --gen-segments): measure the "
+        "streaming ingest alone, excluding event synthesis",
+    )
+    ap.add_argument(
+        "--gen-segments",
+        type=str,
+        default="",
+        help="only generate the event log as parquet files into this dir, then exit",
+    )
     args = ap.parse_args()
 
     spec = GenSpec(
         seed=args.seed,
         n_keys=args.keys or max(args.events // 10, 10),
-        mean_blocks=8,
+        mean_blocks=args.mean_kb,
         schema_ver_plan=((args.events // 3, 2), (2 * args.events // 3, 3)),
     )
     out = args.out or tempfile.mkdtemp(prefix="cdc-lake-")
 
     spark = build_spark(args.parallelism)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.gen_segments:
+        # materialize the binlog once (any parallelism); ingest runs at
+        # different cluster sizes then consume the identical input
+        n_files = max(args.batches * 4, 32)
+        (
+            events_df(spark, spec, args.events, partitions=n_files)
+            .write.mode("overwrite")
+            .parquet(args.gen_segments)
+        )
+        print(json.dumps({"generated": args.events, "dir": args.gen_segments, "files": n_files}))
+        spark.stop()
+        return
+
     lake = LakeTable(spark, out, num_buckets=args.buckets)
 
     # Warmup (excluded from throughput): a small throwaway ingest so JVM
@@ -96,24 +126,42 @@ def main() -> None:
     )
     shutil.rmtree(warm_dir, ignore_errors=True)
 
-    per = (args.events + args.batches - 1) // args.batches
     t0 = time.time()
-    for b in range(args.batches):
-        lo, hi = b * per, min((b + 1) * per, args.events)
-        if lo >= hi:
-            break
-        # distributed lazy synthesis of this batch's slice of the log;
-        # task granularity: >= parallelism tasks, ~4k events per task
-        parts = max(args.parallelism, min((hi - lo) // 4000, args.parallelism * 4))
-        batch = events_df(spark, spec, hi, partitions=parts, start=lo)
-        apply_batch(
+    if args.segments:
+        # the north-rule architecture: tail the pre-materialized binlog
+        # with Structured Streaming, one foreachBatch MERGE per trigger
+        from chunker_spark.cdc import IngestStream
+
+        seg_files = [f for f in os.listdir(args.segments) if f.endswith(".parquet")]
+        per_trigger = max(1, (len(seg_files) + args.batches - 1) // args.batches)
+        stream = IngestStream(
+            spark,
             lake,
-            batch,
-            batch_id=f"bench-{b}",
+            args.segments,
+            checkpoint_dir=tempfile.mkdtemp(prefix="cdc-ckpt-"),
             params=SOURCE_PARAMS,
-            udf_partitions=parts,
-            collect_metrics=args.metrics,
+            max_files_per_trigger=per_trigger,
         )
+        t0 = time.time()
+        stream.run_available()
+    else:
+        per = (args.events + args.batches - 1) // args.batches
+        for b in range(args.batches):
+            lo, hi = b * per, min((b + 1) * per, args.events)
+            if lo >= hi:
+                break
+            # distributed lazy synthesis of this batch's slice of the
+            # log; task granularity: >= parallelism tasks
+            parts = max(args.parallelism, min((hi - lo) // 4000, args.parallelism * 4))
+            batch = events_df(spark, spec, hi, partitions=parts, start=lo)
+            apply_batch(
+                lake,
+                batch,
+                batch_id=f"bench-{b}",
+                params=SOURCE_PARAMS,
+                udf_partitions=parts,
+                collect_metrics=args.metrics,
+            )
     elapsed = time.time() - t0
 
     # final-state digest from the lake
@@ -139,6 +187,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "cdc_ingest_events_per_sec",
+                "mode": "stream" if args.segments else "synth",
                 "value": round(args.events / elapsed, 1),
                 "unit": "events/s",
                 "events": args.events,

@@ -158,3 +158,31 @@ def test_schema_normalization(spark):
     df = normalize_events(_events_df(spark, events))
     got = {r["path"]: (r["language"], r["branch"]) for r in df.collect()}
     assert got == {"p1": ("py", "main"), "p2": ("go", "dev"), "p3": ("rs", "main")}
+
+
+def test_out_of_order_batches(spark, tmp_path):
+    """Merge-on-read resolves by seq, so batches applied out of order
+    (late segment replay, multi-source races) still converge to the
+    oracle state — including deletes arriving 'before' older upserts."""
+    events = list(gen_events_local(SPEC, 300))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4)
+    slices = [events[200:300], events[0:100], events[100:200]]  # shuffled order
+    for i, sl in enumerate(slices):
+        assert apply_batch(lake, _events_df(spark, sl), f"ooo-{i}", params=PARAMS) is not None
+    _assert_state_equals_oracle(spark, lake, events)
+
+
+def test_compaction_bounds_files_and_preserves_state(spark, tmp_path):
+    """Many small batches trigger compaction; per-bucket file counts
+    stay bounded and the resolved state is unchanged."""
+    import json
+
+    events = list(gen_events_local(SPEC, 400))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2, compact_threshold=3)
+    for i, lo in enumerate(range(0, 400, 50)):
+        apply_batch(lake, _events_df(spark, events[lo : lo + 50]), f"c{i}", params=PARAMS)
+    commit = lake.current_commit()
+    assert any("compact" in json.load(open(f"{lake.root}/meta/{f}"))["kind"]
+               for f in lake._commit_files())
+    assert all(len(fl) <= 3 + 1 for fl in commit["files"].values())
+    _assert_state_equals_oracle(spark, lake, events)
