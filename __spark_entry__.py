@@ -507,9 +507,12 @@ def q_cdc_replay(spark, sf):
     events = list(gen_events_local(spec, 300))
     lake = LakeTable(spark, tempfile.mkdtemp(prefix="q-cdc-"), num_buckets=4)
     params = ChunkerParams(average_bits=9, min_size=256, max_size=4096)
-    for i in range(3):
-        pdf = pd.DataFrame(events[i * 100 : (i + 1) * 100])[[f.name for f in EVENT_SCHEMA.fields]]
-        apply_batch(lake, spark.createDataFrame(pdf, EVENT_SCHEMA), f"q{i}", params=params)
+    for i in range(2):
+        pdf = pd.DataFrame(events[i * 150 : (i + 1) * 150])[[f.name for f in EVENT_SCHEMA.fields]]
+        apply_batch(
+            lake, spark.createDataFrame(pdf, EVENT_SCHEMA), f"q{i}", params=params,
+            collect_metrics=False,
+        )
     return lake.read().select(
         "repo", "path", "commit", "language", "branch", "content_sha256", "size",
         F.size("manifest").alias("n_chunks"),

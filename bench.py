@@ -39,6 +39,15 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the session (JVM codegen, python workers, parquet footers)
+    # so the first timed query isn't charged cold-start costs
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    import pandas as _pd
+
+    spark.createDataFrame(_pd.DataFrame({"x": ["warm"]})).mapInPandas(
+        lambda it: it, "x string"
+    ).count()
+
     timings: dict[str, float] = {}
     row_counts: dict[str, int] = {}
     for name, fn in entrymod.queries().items():

@@ -38,40 +38,49 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # ---- MinHash + LSH ---------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    import zlib
-
+    """Distinct 64-bit hashes of all character k-shingles, fully
+    vectorized: pack k consecutive (lowercased) bytes into a uint64 and
+    splitmix-finalize it — no per-shingle Python."""
     if not text or len(text) < k:
         return np.array([0], dtype=np.uint64)
     data = text.lower().encode("utf-8", "ignore")
-    # character k-shingles hashed with crc32 pairs → 64-bit
-    out = {
-        zlib.crc32(data[i : i + k]) | (zlib.crc32(data[i + 1 : i + k + 1]) << 32)
-        for i in range(len(data) - k + 1)
-    }
-    return np.fromiter(out, dtype=np.uint64)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = len(arr) - k + 1
+    with np.errstate(over="ignore"):
+        v = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            v |= arr[j : j + n].astype(np.uint64) << np.uint64(8 * (j % 8))
+            if j and j % 8 == 0:  # fold overflow bytes back in for k > 8
+                v *= _MIX1
+        v = (v ^ (v >> np.uint64(30))) * _MIX1
+        v = (v ^ (v >> np.uint64(27))) * _MIX2
+        v ^= v >> np.uint64(31)
+    return np.unique(v)
 
 
 def minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 1):
     """Pandas UDF: text -> array<long> of MinHash signature values.
 
-    Universal hashing h_i(x) = (a_i * x + b_i) mod p over 64-bit
-    shingle hashes, vectorized per document with numpy.
+    Multiply-shift universal hashing in wrap-around uint64:
+    ``h_i(x) = (a_i * x + b_i) >> 1`` (odd a_i) — one broadcasted numpy
+    op per document for all ``num_hashes`` rows, no bigint math.
     """
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64).astype(object)
-    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64).astype(object)
+    a = (rng.integers(1, 1 << 62, num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 1 << 62, num_hashes, dtype=np.uint64)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _minhash(text: pd.Series) -> pd.Series:
         def sig(t):
-            sh = _shingle_hashes(t if isinstance(t, str) else "", shingle_k)
-            x = sh.astype(object)  # exact Python-int math, no overflow
-            mins = [int(((a[i] * x + b[i]) % _MERSENNE).min()) for i in range(num_hashes)]
-            return mins
+            x = _shingle_hashes(t if isinstance(t, str) else "", shingle_k)
+            with np.errstate(over="ignore"):
+                h = (a[:, None] * x[None, :] + b[:, None]) >> np.uint64(1)
+            return h.min(axis=1).astype(np.int64).tolist()
 
         return text.map(sig)
 
