@@ -45,16 +45,18 @@ from chunker_spark.cdc import (
 from chunker_spark.cdc.events import SOURCE_PARAMS
 
 
-def build_spark(parallelism: int) -> SparkSession:
-    return (
+def build_spark(parallelism: int, local_dir: str = "") -> SparkSession:
+    b = (
         SparkSession.builder.master(f"local[{parallelism}]")
         .appName(f"cdc-ingest-bench-p{parallelism}")
         .config("spark.sql.shuffle.partitions", str(max(parallelism, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
-        .getOrCreate()
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
+    return b.getOrCreate()
 
 
 def main() -> None:
@@ -82,6 +84,13 @@ def main() -> None:
         default="",
         help="only generate the event log as parquet files into this dir, then exit",
     )
+    ap.add_argument(
+        "--tmpfs",
+        action="store_true",
+        help="place lake, checkpoint and shuffle dirs on /dev/shm — the "
+        "single-host analogue of cluster storage whose bandwidth scales "
+        "with executors (local disk does not)",
+    )
     args = ap.parse_args()
 
     spec = GenSpec(
@@ -90,15 +99,18 @@ def main() -> None:
         mean_blocks=args.mean_kb,
         schema_ver_plan=((args.events // 3, 2), (2 * args.events // 3, 3)),
     )
-    out = args.out or tempfile.mkdtemp(prefix="cdc-lake-")
+    base_tmp = "/dev/shm" if args.tmpfs else None
+    out = args.out or tempfile.mkdtemp(prefix="cdc-lake-", dir=base_tmp)
 
-    spark = build_spark(args.parallelism)
+    spark = build_spark(args.parallelism, local_dir=tempfile.mkdtemp(prefix="cdc-local-", dir=base_tmp) if args.tmpfs else "")
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.gen_segments:
         # materialize the binlog once (any parallelism); ingest runs at
-        # different cluster sizes then consume the identical input
-        n_files = max(args.batches * 4, 32)
+        # different cluster sizes then consume the identical input.
+        # Enough files that each trigger's scan stage can parallelize
+        # across the largest cluster size measured.
+        n_files = max(args.batches * 32, 128)
         (
             events_df(spark, spec, args.events, partitions=n_files)
             .write.mode("overwrite")
@@ -138,7 +150,7 @@ def main() -> None:
             spark,
             lake,
             args.segments,
-            checkpoint_dir=tempfile.mkdtemp(prefix="cdc-ckpt-"),
+            checkpoint_dir=tempfile.mkdtemp(prefix="cdc-ckpt-", dir=base_tmp),
             params=SOURCE_PARAMS,
             max_files_per_trigger=per_trigger,
         )

@@ -155,18 +155,23 @@ class LakeTable:
     def append_delta(
         self,
         delta_rows: DataFrame,
-        touched_buckets: list[int],
+        touched_buckets: list[int] | None,
         batch_id: str,
         stats: dict | None = None,
     ) -> dict:
         """MERGE commit: append the batch's upserts + tombstones as new
         delta files; compact any bucket whose file count exceeds the
-        threshold. Write volume: O(batch) + amortized compaction."""
+        threshold. Write volume: O(batch) + amortized compaction.
+        ``touched_buckets=None`` derives the touched set from the files
+        the write actually produced (saves a pre-pass over the batch)."""
         prev = self.current_commit()
         seq = (prev["commit_seq"] + 1) if prev else 0
         files = {k: list(v) for k, v in (prev["files"] if prev else {}).items()}
 
-        new_files = self._write_snap(delta_rows, len(touched_buckets), seq, "delta")
+        n_parts = len(touched_buckets) if touched_buckets is not None else self.num_buckets
+        new_files = self._write_snap(delta_rows, n_parts, seq, "delta")
+        if touched_buckets is None:
+            touched_buckets = sorted(int(b) for b in new_files)
         for b, fl in new_files.items():
             files.setdefault(b, [])
             files[b].extend(fl)

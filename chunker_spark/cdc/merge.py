@@ -89,26 +89,18 @@ def apply_batch(
         return None  # exactly-once: duplicate delivery is a no-op
 
     events = normalize_events(raw_events)
-    # One cached DataFrame carries the whole reduced batch (upserts with
-    # manifests + delete tombstones): the source is read once and the
-    # chunking UDF runs once; the delta write and stats reuse the
-    # materialized rows. Deletes have null content, so the manifest UDF
-    # passes them through as null.
+    # The reduced batch: upserts with manifests + delete tombstones.
+    # Deletes have null content, so the manifest UDF passes them
+    # through as null. Cached only when the metrics path needs several
+    # passes — the hot path is a single write action and caching it
+    # would serialize every row into the memory store for nothing.
     parts = udf_partitions or spark.sparkContext.defaultParallelism
     batch = with_manifest(
         salted_repartition(last_writer_wins(events), parts), params=params
-    ).cache()
+    )
+    if collect_metrics:
+        batch = batch.cache()
     try:
-        # ---- bucket stats (skew observability + commit metadata) ----
-        nb = lake.num_buckets
-        per_bucket = {
-            int(r["b"]): int(r["n"])
-            for r in batch.groupBy(bucket_expr(nb).alias("b"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        touched = sorted(per_bucket)
-
         # merge-on-read delta: upserts keep their seq; deletes become
         # tombstones. No table read, no join — the MERGE "match" is
         # resolved lazily by readers (lake.resolve_state) and physically
@@ -120,16 +112,29 @@ def apply_batch(
         )
 
         if collect_metrics:
+            # per-bucket key counts: skew observability for lineage
+            nb = lake.num_buckets
+            per_bucket = {
+                int(r["b"]): int(r["n"])
+                for r in batch.groupBy(bucket_expr(nb).alias("b"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            touched = sorted(per_bucket)
             upserts = batch.where(F.col("op") != "D")
             deletes = batch.where(F.col("op") == "D").select(*KEY_COLS)
             stats = _batch_stats(upserts, deletes, lake.read(buckets=touched))
+            stats["keys_per_bucket"] = {str(b): n for b, n in per_bucket.items()}
+            commit = lake.append_delta(delta, touched, str(batch_id), stats=stats)
         else:
-            stats = {}
-        stats["keys_per_bucket"] = {str(b): n for b, n in per_bucket.items()}
-        commit = lake.append_delta(delta, touched, str(batch_id), stats=stats)
+            # hot path: ONE Spark job per batch — the delta write itself
+            # materializes the cache; touched buckets are read back from
+            # the files the write produced
+            commit = lake.append_delta(delta, None, str(batch_id), stats={})
         return commit
     finally:
-        batch.unpersist()
+        if collect_metrics:
+            batch.unpersist()
 
 
 def _batch_stats(upserts: DataFrame, deletes: DataFrame, old: DataFrame) -> dict:
