@@ -411,6 +411,30 @@ FROM (
 """
 
 
+def q_embedding_dedup(spark, sf):
+    """Embedding-cosine near-duplicate pairs (exact baseline)."""
+    from chunker_spark.ops.dedup import embedding_near_dup_pairs
+
+    v = _t(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(v, threshold=0.35).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+SQL_EMBEDDING_DEDUP = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+     p AS (
+       SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+              round(
+                list_sum(list_transform(list_zip(l.emb, r.emb), x -> x[1]*x[2]))
+                / (sqrt(list_sum(list_transform(l.emb, x -> x*x)))
+                 * sqrt(list_sum(list_transform(r.emb, x -> x*x)))), 6) AS cosine
+       FROM v l JOIN v r ON l.vec_id < r.vec_id
+     )
+SELECT id_a, id_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= 0.35
+"""
+
+
 # ---- engine-specific queries (rows-only checks: no SQL equivalent) ---
 
 
@@ -533,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
+        "embedding_dedup": q_embedding_dedup,
         "ann_topk": q_ann_topk,
         "doc_manifest": q_doc_manifest,
         "chunk_store": q_chunk_store,
@@ -559,6 +584,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": SQL_DOC_TOKENS,
         "doc_quality": SQL_DOC_QUALITY,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "embedding_dedup": SQL_EMBEDDING_DEDUP,
         "ann_topk": SQL_ANN_TOPK,
         # doc_manifest / chunk_store / minhash_pairs / simhash / lang_id /
         # lsh_ann / media_features / cdc_replay: engine-specific, rows-only

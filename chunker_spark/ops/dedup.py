@@ -150,6 +150,48 @@ def minhash_lsh_pairs(
     )
 
 
+# ---- embedding-cosine near-duplicates --------------------------------
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 0,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    ``bits=0``: exact all-pairs (broadcast the smaller side; quadratic —
+    the correctness baseline). ``bits>0``: hyperplane-LSH bucketing
+    first, comparing only within buckets — the linear-ish scale path
+    (identical output for pairs whose vectors share a bucket; standard
+    recall/efficiency trade).
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    """
+    from .similarity import cosine_similarity, hyperplane_signature_udf
+
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    if bits > 0:
+        if dim is None:
+            dim = len(v.first()["v"])
+        sig = hyperplane_signature_udf(dim, bits)
+        v = v.withColumn("bucket", sig(F.col("v")))
+        join_cond = (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id"))
+    else:
+        join_cond = F.col("l.id") < F.col("r.id")
+    pairs = v.alias("l").join(v.alias("r"), join_cond)
+    return (
+        pairs.select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cosine_similarity(F.col("l.v"), F.col("r.v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 # ---- SimHash ---------------------------------------------------------
 
 

@@ -139,3 +139,36 @@ def test_text_functions(spark):
     assert by_id[1]["lang"] == "de"
     assert by_id[0]["q"] > by_id[2]["q"]
     assert by_id[0]["fp"] != by_id[1]["fp"]
+
+
+def test_embedding_near_dup(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    base = rng.standard_normal(8)
+    vecs = [
+        (0, base.tolist()),
+        (1, (base + 0.01 * rng.standard_normal(8)).tolist()),  # near-dup of 0
+        (2, rng.standard_normal(8).tolist()),
+        (3, (-base).tolist()),  # anti-correlated
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    from chunker_spark.ops.dedup import embedding_near_dup_pairs
+
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, 0.95).collect()}
+    assert exact == {(0, 1)}
+    # LSH-bucketed variant finds the same pair (near-identical vectors
+    # share every hyperplane bucket)
+    lsh = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, 0.95, bits=4).collect()}
+    assert (0, 1) in lsh and lsh <= exact
+
+
+def test_iceberg_seam_guarded(spark):
+    import pytest as _pytest
+
+    from chunker_spark.cdc.lake_iceberg import IcebergLakeTable, iceberg_available
+
+    if iceberg_available(spark):
+        _pytest.skip("iceberg present: seam active")
+    with _pytest.raises(RuntimeError, match="merge-on-read"):
+        IcebergLakeTable(spark, "lake.files")
