@@ -435,6 +435,40 @@ SELECT id_a, id_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= 0.35
 """
 
 
+def q_manifest_tiling(spark, sf):
+    """Chunk-manifest tiling invariant, SQL-checkable: the sum of chunk
+    lengths per document must equal the content's UTF-8 byte length,
+    and every non-final chunk must respect the min/max bounds. The
+    oracle computes the byte length (and zero expected violations)
+    independently in DuckDB."""
+    from chunker_spark.functions.manifest import with_manifest
+    from chunker_spark.kernel import ChunkerParams
+
+    d = _t(spark, sf, "documents")
+    params = ChunkerParams(average_bits=9, min_size=128, max_size=4096)
+    m = with_manifest(d, content_col="text", params=params)
+    chunk_lens = F.expr("transform(manifest, c -> c.length)")
+    bad = F.size(
+        F.filter(
+            F.slice(chunk_lens, 1, F.greatest(F.size(chunk_lens) - 1, F.lit(0))),
+            lambda ln: (ln < params.min_size) | (ln > params.max_size),
+        )
+    )
+    return m.select(
+        "doc_id",
+        F.aggregate(chunk_lens, F.lit(0).cast("long"), lambda a, x: a + x).alias("manifest_bytes"),
+        bad.cast("long").alias("bound_violations"),
+    )
+
+
+SQL_MANIFEST_TILING = """
+SELECT doc_id,
+       strlen(text)::BIGINT AS manifest_bytes,
+       0::BIGINT AS bound_violations
+FROM documents
+"""
+
+
 # ---- engine-specific queries (rows-only checks: no SQL equivalent) ---
 
 
@@ -560,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "ann_topk": q_ann_topk,
         "doc_manifest": q_doc_manifest,
+        "manifest_tiling": q_manifest_tiling,
         "chunk_store": q_chunk_store,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -586,6 +621,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "embedding_dedup": SQL_EMBEDDING_DEDUP,
         "ann_topk": SQL_ANN_TOPK,
+        "manifest_tiling": SQL_MANIFEST_TILING,
         # doc_manifest / chunk_store / minhash_pairs / simhash / lang_id /
         # lsh_ann / media_features / cdc_replay: engine-specific, rows-only
     }
