@@ -267,24 +267,17 @@ def q_events_minutely(spark, sf):
     value sums per event type (the streaming metrics rollup shape,
     SURVEY.md §2.3, run here on the batch events table)."""
     e = _t(spark, sf, "events")
-    win = F.window(F.col("ts"), "1 minute")
-    return (
-        e.groupBy(win.alias("w"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 4).alias("value_sum"),
-        )
-        .select(
-            F.col("w.start").cast("timestamp").cast("long").alias("minute_epoch"),
-            "event_type",
-            "n_events",
-            "value_sum",
-        )
+    # NTZ timestamps truncate + stringify without any session-timezone
+    # shift — keeps the oracle comparison timezone-proof
+    minute = F.date_trunc("minute", F.col("ts")).cast("string")
+    return e.groupBy(minute.alias("minute"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 4).alias("value_sum"),
     )
 
 
 SQL_EVENTS_MINUTELY = """
-SELECT CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS minute_epoch,
+SELECT CAST(date_trunc('minute', ts) AS VARCHAR) AS minute,
        event_type,
        count(*) AS n_events,
        round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 4) AS value_sum
