@@ -251,7 +251,7 @@ def q_events_gap_audit(spark, sf):
 SQL_EVENTS_GAP_AUDIT = """
 SELECT user_id,
        count(*) AS n_events,
-       sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS gaps_over_1h,
+       CAST(sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS gaps_over_1h,
        max(gap_s) AS max_gap_s
 FROM (
   SELECT user_id,
@@ -352,12 +352,17 @@ FROM documents
 
 
 def q_dedup_exact(spark, sf):
-    """Exact dedup on normalized text: representative id + group size."""
+    """Exact dedup on normalized text: representative id + group size.
+
+    Groups on a sha256 fingerprint of the normalized text, never the
+    text itself — at 100 TB the shuffle carries 32-byte keys, not the
+    full corpus (the oracle groups on the normalized text directly:
+    identical groups unless sha256 collides)."""
     d = _t(spark, sf, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     return (
-        d.withColumn("norm", norm)
-        .groupBy("norm")
+        d.withColumn("fp", F.sha2(norm.cast("binary"), 256))
+        .groupBy("fp")
         .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("dup_count"))
         .select("rep_doc_id", "dup_count")
     )
@@ -526,9 +531,8 @@ def q_lsh_ann(spark, sf):
     v = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    dim = len(v.first()["embedding"])
     q = v.where(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_bucketed_topk(v, q, dim=dim, k=5, bits=4)
+    return lsh_bucketed_topk(v, q, k=5, bits=4)  # dim derived executor-side
 
 
 def q_media_features(spark, sf):

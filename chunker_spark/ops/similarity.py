@@ -65,18 +65,33 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature_udf(dim: int, bits: int = 8, seed: int = 7):
+def hyperplane_signature_udf(dim: int | None = None, bits: int = 8, seed: int = 7):
     """Random-hyperplane LSH signature: sign pattern of ``bits``
-    projections, packed into a long. Vectorized numpy per Arrow batch."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, bits)).astype(np.float32)
+    projections, packed into a long. Vectorized numpy per Arrow batch.
+
+    ``dim`` may be omitted: the plane matrix is derived lazily (and
+    deterministically, from ``seed``) from the first vector's length on
+    each executor — no driver-side collect is ever needed to learn the
+    embedding dimensionality."""
+    planes_cache: dict[int, np.ndarray] = {}
+
+    def _planes(d: int) -> np.ndarray:
+        p = planes_cache.get(d)
+        if p is None:
+            p = np.random.default_rng(seed).standard_normal((d, bits)).astype(np.float32)
+            planes_cache[d] = p
+        return p
+
+    if dim is not None:
+        _planes(dim)
 
     @F.pandas_udf(LongType())
     def _sig(vecs: pd.Series) -> pd.Series:
         def one(v):
             if v is None:
                 return 0
-            proj = np.asarray(v, dtype=np.float32) @ planes
+            a = np.asarray(v, dtype=np.float32)
+            proj = a @ _planes(len(a))
             sig = int.from_bytes(np.packbits(proj > 0).tobytes()[:8], "big")
             return sig & ((1 << 63) - 1)  # keep within signed LongType
 
@@ -88,7 +103,7 @@ def hyperplane_signature_udf(dim: int, bits: int = 8, seed: int = 7):
 def lsh_bucketed_topk(
     vectors: DataFrame,
     queries: DataFrame,
-    dim: int,
+    dim: int | None = None,
     k: int = 5,
     bits: int = 8,
     id_col: str = "vec_id",

@@ -26,7 +26,12 @@ def duckdb_conn(sf_dir: str):
 
 
 def _normalize(df):
-    """pandas frame -> canonical sorted string grid for hashing."""
+    """pandas frame -> canonical sorted string grid for hashing.
+
+    Dtype-faithful on purpose: a float64 128.0 renders "128.0", an
+    int64 128 renders "128" — so an oracle returning HUGEINT-via-float
+    where Spark returns BIGINT fails here exactly like it fails in the
+    driver's hash compare (round-1 events_gap_audit lesson)."""
     import pandas as pd
 
     df = df.reindex(sorted(df.columns), axis=1)
@@ -35,9 +40,7 @@ def _normalize(df):
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "NULL"
         if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
-            return repr(round(v, 9))
+            return repr(round(float(v), 9))  # float(): numpy 2.x repr wraps np.float64
         return str(v)
 
     grid = df.map(cell)
