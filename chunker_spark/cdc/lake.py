@@ -93,6 +93,18 @@ class LakeTable:
             return json.load(f)
 
     def committed_batch_ids(self) -> set[str]:
+        """Every batch id ever committed, from the LATEST commit only:
+        each commit carries the full id ledger (``batch_ids``), so the
+        per-batch idempotency check is O(1) file reads instead of
+        re-reading every commit JSON (O(n) per batch → O(n²) over a
+        stream). Ledger size is ~10 bytes/batch — fine to 10⁶ batches;
+        beyond that, chunk the ledger into side files. Falls back to the
+        full scan for pre-ledger commit logs."""
+        commit = self.current_commit()
+        if not commit:
+            return set()
+        if "batch_ids" in commit:
+            return set(commit["batch_ids"])
         ids = set()
         for name in self._commit_files():
             with open(f"{self.root}/meta/{name}") as f:
@@ -189,9 +201,13 @@ class LakeTable:
             for b in over:
                 files[str(b)] = compacted.get(str(b), [])
 
+        prev_ids = set(prev.get("batch_ids", [])) if prev else set()
+        if prev and "batch_ids" not in prev:  # pre-ledger log: rebuild once
+            prev_ids = self.committed_batch_ids()
         commit = {
             "commit_seq": seq,
             "batch_id": str(batch_id),
+            "batch_ids": sorted(prev_ids | {str(batch_id)}),
             "ts": time.time(),
             "kind": "delta" + ("+compact" if over else ""),
             "num_buckets": self.num_buckets,

@@ -33,9 +33,33 @@ from .events import SOURCE_PARAMS
 from .lake import LakeTable, bucket_expr
 from .schema import KEY_COLS, TABLE_SCHEMA, normalize_events
 
-#: updates-side row-count threshold below which the MERGE join side is
-#: broadcast (micro-batches are usually far smaller than table state)
+#: updates-side row-count threshold below which the LWW winners set is
+#: broadcast (micro-batches are usually far smaller than table state).
+#: Above it, apply_batch falls back to the single-shuffle max_by path so
+#: a huge-key-cardinality batch can never blow the driver/broadcast
+#: memory limit.
 BROADCAST_THRESHOLD_ROWS = 2_000_000
+
+
+def _estimated_rows(df: DataFrame) -> int | None:
+    """Upper-bound row estimate from Catalyst plan statistics — free (no
+    Spark job). Uses the optimizer's rowCount when known, else
+    sizeInBytes (real for file sources: sum of input file sizes — the
+    production streaming path) over a conservative minimum event row
+    width, so over-estimating only pushes us to the always-safe shuffle
+    path. Returns None when the plan has no statistics (in-memory /
+    mapInPandas sources report a Long.MaxValue sentinel)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(rc.get())  # py4j maps scala BigInt -> python int
+        size = int(stats.sizeInBytes())
+        if size >= 1 << 60:  # defaultSizeInBytes sentinel: no real stats
+            return None
+        return size // 48
+    except Exception:
+        return None
 
 
 def last_writer_wins(events: DataFrame, broadcast_winners: bool = True) -> DataFrame:
@@ -81,13 +105,29 @@ def apply_batch(
     params: ChunkerParams = SOURCE_PARAMS,
     udf_partitions: int | None = None,
     collect_metrics: bool = True,
+    broadcast_threshold: int = BROADCAST_THRESHOLD_ROWS,
 ) -> dict | None:
     """Apply one micro-batch of raw change events. Returns the commit
-    dict, or None when the batch was already committed (no-op replay)."""
+    dict, or None when the batch was already committed (no-op replay).
+
+    LWW strategy is picked per batch from plan statistics: batches whose
+    estimated row count (an upper bound on key cardinality) exceeds
+    ``broadcast_threshold`` use the single-shuffle ``max_by`` aggregation
+    (unconditionally memory-safe); smaller ones use the broadcast-winners
+    semi-join, under which content crosses one shuffle instead of two.
+    Batches with no plan statistics (in-memory test/synth sources) keep
+    the broadcast default — production ingest arrives via the file
+    streaming source, whose size statistics are real, and callers with
+    unbounded stat-less batches can pass ``broadcast_threshold=0``."""
     spark = lake.spark
     if str(batch_id) in lake.committed_batch_ids():
         return None  # exactly-once: duplicate delivery is a no-op
 
+    if broadcast_threshold <= 0:  # explicit opt-out: always shuffle
+        use_broadcast = False
+    else:
+        est = _estimated_rows(raw_events)
+        use_broadcast = est is None or est <= broadcast_threshold
     events = normalize_events(raw_events)
     # The reduced batch: upserts with manifests + delete tombstones.
     # Deletes have null content, so the manifest UDF passes them
@@ -96,7 +136,8 @@ def apply_batch(
     # would serialize every row into the memory store for nothing.
     parts = udf_partitions or spark.sparkContext.defaultParallelism
     batch = with_manifest(
-        salted_repartition(last_writer_wins(events), parts), params=params
+        salted_repartition(last_writer_wins(events, broadcast_winners=use_broadcast), parts),
+        params=params,
     )
     if collect_metrics:
         batch = batch.cache()
@@ -125,12 +166,16 @@ def apply_batch(
             deletes = batch.where(F.col("op") == "D").select(*KEY_COLS)
             stats = _batch_stats(upserts, deletes, lake.read(buckets=touched))
             stats["keys_per_bucket"] = {str(b): n for b, n in per_bucket.items()}
+            stats["lww_strategy"] = "broadcast" if use_broadcast else "shuffle"
             commit = lake.append_delta(delta, touched, str(batch_id), stats=stats)
         else:
             # hot path: ONE Spark job per batch — the delta write itself
             # materializes the cache; touched buckets are read back from
             # the files the write produced
-            commit = lake.append_delta(delta, None, str(batch_id), stats={})
+            commit = lake.append_delta(
+                delta, None, str(batch_id),
+                stats={"lww_strategy": "broadcast" if use_broadcast else "shuffle"},
+            )
         return commit
     finally:
         if collect_metrics:

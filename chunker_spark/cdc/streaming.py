@@ -96,10 +96,14 @@ class IngestStream:
         stream = reader.parquet(self.events_dir)
         if self.dedup_watermark:
             # event-time dedup for at-least-once upstream producers:
-            # duplicate seq values within the watermark are dropped with
-            # bounded state (idempotent commits remain the primary
-            # exactly-once mechanism — this guards the producer side)
-            stream = stream.withWatermark("ts", self.dedup_watermark).dropDuplicates(["seq"])
+            # duplicate seq values within the watermark are dropped.
+            # dropDuplicatesWithinWatermark evicts per-seq state once the
+            # watermark passes — plain dropDuplicates(["seq"]) would keep
+            # state forever because the event-time column is not in the
+            # dedup subset. (Idempotent commits remain the primary
+            # exactly-once mechanism — this guards the producer side.)
+            stream = stream.withWatermark("ts", self.dedup_watermark)
+            stream = stream.dropDuplicatesWithinWatermark(["seq"])
         query = (
             stream.writeStream.foreachBatch(self._handle_batch)
             .option("checkpointLocation", self.checkpoint_dir)

@@ -186,3 +186,35 @@ def test_compaction_bounds_files_and_preserves_state(spark, tmp_path):
                for f in lake._commit_files())
     assert all(len(fl) <= 3 + 1 for fl in commit["files"].values())
     _assert_state_equals_oracle(spark, lake, events)
+
+
+def test_lww_strategy_auto_selection(spark, tmp_path):
+    """The LWW strategy cutover is wired: a batch whose estimated rows
+    exceed the threshold takes the single-shuffle max_by path, a small
+    batch takes the broadcast-winners path — and both converge to the
+    same oracle state."""
+    events = list(gen_events_local(SPEC, 120))
+    lake_a = LakeTable(spark, str(tmp_path / "lake_a"), num_buckets=4)
+    c1 = apply_batch(lake_a, _events_df(spark, events), "b0", params=PARAMS,
+                     broadcast_threshold=0)  # force: everything over threshold
+    assert c1["stats"]["lww_strategy"] == "shuffle"
+    _assert_state_equals_oracle(spark, lake_a, events)
+
+    lake_b = LakeTable(spark, str(tmp_path / "lake_b"), num_buckets=4)
+    c2 = apply_batch(lake_b, _events_df(spark, events), "b0", params=PARAMS,
+                     broadcast_threshold=1 << 40)
+    assert c2["stats"]["lww_strategy"] == "broadcast"
+    _assert_state_equals_oracle(spark, lake_b, events)
+
+
+def test_batch_id_ledger_is_o1(spark, tmp_path):
+    """committed_batch_ids comes from the latest commit's ledger (O(1)
+    file reads per batch), carries every id, and still gates replays."""
+    events = list(gen_events_local(SPEC, 150))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    for i, lo in enumerate(range(0, 150, 50)):
+        apply_batch(lake, _events_df(spark, events[lo : lo + 50]), f"L{i}", params=PARAMS)
+    assert lake.current_commit()["batch_ids"] == ["L0", "L1", "L2"]
+    assert lake.committed_batch_ids() == {"L0", "L1", "L2"}
+    # replay of an OLD batch (not just the latest) is still a no-op
+    assert apply_batch(lake, _events_df(spark, events[0:50]), "L0", params=PARAMS) is None
