@@ -7,9 +7,12 @@
                 chunking kernel surface (manifests, chunk store), and
                 training-data ops (dedup, text analysis, ANN, media).
 ``oracle_sql``— DuckDB-equivalent SQL for every query whose semantics
-                SQL can express; engine-specific ops (manifests,
-                minhash, simhash, lang-id, media, CDC replay) are
-                rows-only checks by design.
+                SQL can express — including invariant-style oracles for
+                the engine-specific ops (chunk-store conservation,
+                planted-duplicate MinHash completeness, SimHash
+                order/case invariance, full CDC-replay final state).
+                Only kernel manifests, heuristic lang-id, LSH-ANN
+                bucket choice and binary media plumbing stay rows-only.
 
 Numeric parity policy: aggregates compute in exact DECIMAL on both
 sides, then cast to double and round — distributed double summation is
@@ -467,7 +470,10 @@ FROM documents
 """
 
 
-# ---- engine-specific queries (rows-only checks: no SQL equivalent) ---
+# ---- engine-specific queries --------------------------------------
+# (chunk_store / minhash_pairs / simhash / cdc_replay carry invariant
+# oracles; doc_manifest / lang_id / lsh_ann / media_features are
+# rows-only: no SQL equivalent exists for their values)
 
 
 def q_doc_manifest(spark, sf):
@@ -489,31 +495,77 @@ def q_doc_manifest(spark, sf):
 
 
 def q_chunk_store(spark, sf):
-    """Content-addressable chunk store with refcounts."""
+    """Content-addressable chunk store, checked through its conservation
+    invariant: Σ(chunk length × refcount) over the whole store must
+    equal the total byte volume of every manifest — which the oracle
+    computes independently as Σ strlen(text) over the corpus. Any
+    refcount, length, or dedup-identity bug breaks the equality.
+    (The per-chunk store rows themselves are pinned by pytest:
+    tests/test_spark_manifest.py.)"""
     from chunker_spark.functions.manifest import chunk_store, with_manifest
     from chunker_spark.kernel import ChunkerParams
 
     d = _t(spark, sf, "documents")
     params = ChunkerParams(average_bits=9, min_size=128, max_size=4096)
-    return chunk_store(with_manifest(d, content_col="text", params=params)).orderBy(
-        F.desc("refcount"), "chunk_sha256"
-    ).limit(100)
+    store = chunk_store(with_manifest(d, content_col="text", params=params))
+    return store.select(
+        F.sum(F.col("length") * F.col("refcount")).cast("long").alias("store_bytes")
+    )
+
+
+SQL_CHUNK_STORE = """
+SELECT CAST(sum(strlen(text)) AS BIGINT) AS store_bytes FROM documents
+"""
+
+_COPY_OFFSET = 1_000_000  # planted-duplicate id shift (>> any doc_id)
 
 
 def q_minhash_pairs(spark, sf):
-    """MinHash+LSH near-duplicate candidate pairs."""
+    """MinHash+LSH completeness invariant: the corpus has no natural
+    exact duplicates, so plant one per document (an id-shifted copy),
+    run the full shingle→minhash→band→bucket-join pipeline over the
+    union, and keep only the planted pairs (id_b − id_a == offset).
+    Every document MUST surface its copy with signature-Jaccard exactly
+    1.0 — a dropped band, broken bucket join, or non-deterministic
+    signature loses rows and fails the count/hash check. Near-dup
+    recall on non-identical texts is pinned by tests/test_ops.py."""
     from chunker_spark.ops.dedup import minhash_lsh_pairs
 
-    d = _t(spark, sf, "documents")
-    return minhash_lsh_pairs(d, num_hashes=32, bands=8, threshold=0.5)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = d.select((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text")
+    pairs = minhash_lsh_pairs(d.unionByName(planted), num_hashes=32, bands=8, threshold=0.5)
+    return pairs.where(F.col("id_b") - F.col("id_a") == _COPY_OFFSET)
+
+
+SQL_MINHASH_PAIRS = f"""
+SELECT doc_id AS id_a,
+       doc_id + {_COPY_OFFSET} AS id_b,
+       CAST(1.0 AS DOUBLE) AS jaccard_est
+FROM documents
+"""
 
 
 def q_simhash(spark, sf):
-    """64-bit SimHash per document (pure built-ins)."""
+    """SimHash algebraic invariants, SQL-checkable: the hash is a pure
+    function of the lowercased word multiset, so reversing word order
+    and upper-casing the text must each leave it unchanged — computed
+    three times per document through the real operator. The concrete
+    64-bit values are pinned by known-answer tests (tests/test_ops.py)."""
     from chunker_spark.ops.dedup import simhash_expr
 
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", simhash_expr("text").alias("simhash"))
+    words = F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda w: w != "")
+    reversed_text = F.concat_ws(" ", F.reverse(words))
+    return d.select(
+        "doc_id",
+        (simhash_expr("text") == simhash_expr(reversed_text)).alias("order_invariant"),
+        (simhash_expr("text") == simhash_expr(F.upper(F.col("text")))).alias("case_invariant"),
+    )
+
+
+SQL_SIMHASH = """
+SELECT doc_id, true AS order_invariant, true AS case_invariant FROM documents
+"""
 
 
 def q_lang_id(spark, sf):
@@ -547,31 +599,74 @@ def q_media_features(spark, sf):
     )
 
 
+_REPLAY_FIXTURE_DIR = "/tmp/chunker_spark_fixtures/cdc_replay_v1"
+
+
+def _ensure_replay_fixture() -> str:
+    """Write the deterministic 300-event CDC fixture (seed 11, schema
+    evolution at seq 100 and 200) as parquet, once. Called from both the
+    Spark query and oracle_sql() so the file exists whichever side the
+    driver runs first; content is a pure function of the seed."""
+    import os
+
+    from chunker_spark.cdc.events import GenSpec, write_segments
+
+    marker = f"{_REPLAY_FIXTURE_DIR}/segment-00000.parquet"
+    if not os.path.exists(marker):
+        spec = GenSpec(seed=11, n_keys=40, mean_blocks=3, schema_ver_plan=((100, 2), (200, 3)))
+        write_segments(None, spec, 300, _REPLAY_FIXTURE_DIR, n_segments=1)
+    return marker
+
+
 def q_cdc_replay(spark, sf):
-    """Mini CDC replay through the real engine: 300 events → lake →
-    final state (exactly-once MERGE path end-to-end)."""
+    """CDC replay through the real engine: 300 events (including a
+    column add at seq 100 and a rename at seq 200) → two exactly-once
+    MERGE batches → resolved lake state. The oracle recomputes the
+    final state independently in SQL: schema normalization as CASE over
+    schema_ver, last-writer-wins as a window by seq, tombstones
+    dropped; ``manifest_bytes`` additionally ties the chunk manifests
+    to the tiling invariant (Σ chunk lengths == content bytes)."""
     import tempfile
 
-    from chunker_spark.cdc import GenSpec, LakeTable, apply_batch
-    from chunker_spark.cdc.events import EVENT_SCHEMA, gen_events_local
+    from chunker_spark.cdc import LakeTable, apply_batch
     from chunker_spark.kernel import ChunkerParams
 
-    import pandas as pd
-
-    spec = GenSpec(seed=11, n_keys=40, mean_blocks=3, schema_ver_plan=((100, 2), (200, 3)))
-    events = list(gen_events_local(spec, 300))
+    _ensure_replay_fixture()
+    events = spark.read.parquet(_REPLAY_FIXTURE_DIR)
     lake = LakeTable(spark, tempfile.mkdtemp(prefix="q-cdc-"), num_buckets=4)
     params = ChunkerParams(average_bits=9, min_size=256, max_size=4096)
-    for i in range(2):
-        pdf = pd.DataFrame(events[i * 150 : (i + 1) * 150])[[f.name for f in EVENT_SCHEMA.fields]]
-        apply_batch(
-            lake, spark.createDataFrame(pdf, EVENT_SCHEMA), f"q{i}", params=params,
-            collect_metrics=False,
-        )
+    apply_batch(lake, events.where(F.col("seq") < 150), "q0", params=params, collect_metrics=False)
+    apply_batch(lake, events.where(F.col("seq") >= 150), "q1", params=params, collect_metrics=False)
+    manifest_bytes = F.aggregate(
+        F.expr("transform(manifest, c -> c.length)"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
     return lake.read().select(
         "repo", "path", "commit", "language", "branch", "content_sha256", "size",
-        F.size("manifest").alias("n_chunks"),
+        manifest_bytes.alias("manifest_bytes"),
     )
+
+
+def _sql_cdc_replay_with_fixture() -> str:
+    _ensure_replay_fixture()  # guarantee the parquet exists before DuckDB reads it
+    return f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FIXTURE_DIR}/segment-00000.parquet')),
+norm AS (
+  SELECT seq, op, repo, path, commit,
+         CASE WHEN schema_ver >= 3 THEN language ELSE lang END AS language,
+         CASE WHEN schema_ver >= 2 THEN branch ELSE 'main' END AS branch,
+         content
+  FROM ev
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM norm
+)
+SELECT repo, path, commit, language, branch,
+       sha256(content) AS content_sha256,
+       CAST(strlen(content) AS BIGINT) AS size,
+       CAST(strlen(content) AS BIGINT) AS manifest_bytes
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -619,6 +714,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": SQL_EMBEDDING_DEDUP,
         "ann_topk": SQL_ANN_TOPK,
         "manifest_tiling": SQL_MANIFEST_TILING,
-        # doc_manifest / chunk_store / minhash_pairs / simhash / lang_id /
-        # lsh_ann / media_features / cdc_replay: engine-specific, rows-only
+        "chunk_store": SQL_CHUNK_STORE,
+        "minhash_pairs": SQL_MINHASH_PAIRS,
+        "simhash": SQL_SIMHASH,
+        "cdc_replay": _sql_cdc_replay_with_fixture(),
+        # doc_manifest / lang_id / lsh_ann / media_features:
+        # engine-specific (kernel manifests, heuristic lang-id, LSH
+        # bucket choice, binary decode plumbing) — rows-only by design
     }

@@ -272,17 +272,22 @@ def embedding_near_dup_pairs(
 # ---- SimHash ---------------------------------------------------------
 
 
-def simhash_expr(text_col: str, bits: int = 64) -> F.Column:
+def simhash_expr(text_col, bits: int = 64) -> F.Column:
     """64-bit SimHash from word-level xxhash64s, pure Spark built-ins:
     per-bit majority vote over token hashes via aggregate().
 
     Bit masks are an array literal (shift functions take only literal
     shift amounts); bit 63 is the long sign bit, −2^63 as a literal.
+    Accepts a column name or a Column expression. By construction the
+    hash is a pure function of the lowercased word MULTISET — word
+    order and letter case cannot change it (the SQL-checkable
+    invariants used by the simhash query oracle).
     """
     masks = F.array(
         *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(bits)]
     )
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda w: w != "")
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.filter(F.split(F.lower(text), r"\W+"), lambda w: w != "")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
     counters = F.aggregate(
         hashes,

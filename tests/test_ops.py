@@ -65,6 +65,18 @@ def test_simhash_similarity(spark, docs):
     assert ham(out[0], out[2]) < ham(out[0], out[3])  # near-dup closer
 
 
+def test_simhash_known_answers(spark):
+    """Pin concrete 64-bit values (the oracle-checked query asserts only
+    algebraic invariants; these constants anchor the actual function)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the green forest where tall trees grow near the quiet river"
+    )
+    df = spark.createDataFrame([(base,), ("hello world",), ("",)], "text string")
+    got = [r[0] for r in df.select(simhash_expr("text")).collect()]
+    assert got == [1598830507121166448, 4828021670264516882, 0]
+
+
 def test_brute_force_topk_self_nearest(spark):
     import numpy as np
 
