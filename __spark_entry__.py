@@ -577,14 +577,17 @@ def q_lang_id(spark, sf):
 
 
 def q_lsh_ann(spark, sf):
-    """LSH-bucketed approximate nearest neighbours (scale path)."""
+    """LSH-bucketed approximate nearest neighbours (scale path):
+    multi-table hyperplane LSH at the ≥0.9-recall operating point
+    measured against brute force (tests/test_ops.py pins the recall
+    contract). dim is derived executor-side — no driver collect."""
     from chunker_spark.ops.similarity import lsh_bucketed_topk
 
     v = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q = v.where(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_bucketed_topk(v, q, k=5, bits=4)  # dim derived executor-side
+    return lsh_bucketed_topk(v, q, k=5, bits=3, tables=12)
 
 
 def q_media_features(spark, sf):

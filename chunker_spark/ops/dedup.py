@@ -102,12 +102,17 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard_est) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
+    # Signatures are computed ONCE and persisted: the band join and the
+    # two verify joins all reference them, and the Python UDF is the
+    # expensive stage. (At 100 TB you would checkpoint signatures to a
+    # table; persist is the in-session equivalent.)
     sig = df.select(
         F.col(id_col).alias("id"), minhash_udf(num_hashes, shingle_k)(F.col(text_col)).alias("sig")
-    )
+    ).persist()
+    # Band rows are fixed-width (id, band, bkt) — the full signature
+    # array never enters the candidate shuffle; it rejoins at verify.
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -121,30 +126,27 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bkt")
-    left = banded.alias("l")
-    right = banded.alias("r")
+    ).select("id", "bb.band", "bb.bkt")
     cand = (
-        left.join(
-            right,
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bkt") == F.col("r.bkt"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    withsigs = cand.join(
+        sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     jacc = (
         F.size(F.arrays_zip("sig_a", "sig_b"))
         - F.size(F.filter(F.arrays_zip("sig_a", "sig_b"), lambda s: s["sig_a"] != s["sig_b"]))
     ) / F.size(F.col("sig_a"))
     return (
-        cand.withColumn("jaccard_est", F.round(jacc.cast("double"), 6))
+        withsigs.withColumn("jaccard_est", F.round(jacc.cast("double"), 6))
         .where(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
@@ -315,39 +317,45 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_ngrams: int = 200,
+    max_ngrams: int | None = None,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard similarity for candidate pairs sharing
-    at least one n-gram (inverted-index join — no cross product)."""
+    """Word-n-gram Jaccard similarity for candidate pairs sharing at
+    least one n-gram (inverted-index join — no cross product).
+
+    Exact by default. ``max_ngrams`` caps each document to its first N
+    distinct n-grams, making scores a truncated ESTIMATE (biased low
+    for long documents) in exchange for bounding the inverted-index
+    fan-out per document — set it when running over unbounded corpora.
+
+    The exploded index rows are fixed-width (id, gram): per-document
+    n-gram set sizes are joined back for the union term instead of
+    carrying each document's full gram array through the shuffle
+    (O(G) bytes per index row otherwise)."""
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda w: w != "")
-    grams = F.slice(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
-        ),
-        1,
-        max_ngrams,
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
     )
+    if max_ngrams is not None:
+        grams = F.slice(grams, 1, max_ngrams)
     g = df.select(F.col(id_col).alias("id"), F.array_distinct(grams).alias("grams")).where(
         F.size("grams") > 0
     )
-    inv = g.select("id", "grams", F.explode("grams").alias("gram"))
-    pairs = (
+    sizes = g.select("id", F.size("grams").alias("n_grams"))
+    inv = g.select("id", F.explode("grams").alias("gram"))
+    inter = (
         inv.alias("l")
         .join(inv.alias("r"), (F.col("l.gram") == F.col("r.gram")) & (F.col("l.id") < F.col("r.id")))
         .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first(F.col("l.grams")).alias("ga"),
-            F.first(F.col("r.grams")).alias("gb"),
-        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb")), "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter") / (F.size("ga") + F.size("gb") - F.col("inter")), 6
-            ).cast("double"),
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).cast("double"),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return pairs

@@ -100,6 +100,45 @@ def hyperplane_signature_udf(dim: int | None = None, bits: int = 8, seed: int = 
     return _sig
 
 
+def hyperplane_signatures_udf(dim: int | None = None, bits: int = 8, seed: int = 7, tables: int = 1):
+    """Multi-table variant of ``hyperplane_signature_udf``: one numpy
+    projection against a (dim, bits·tables) plane matrix per Arrow
+    batch, returning ``tables`` packed bucket signatures per vector.
+    Table 0 is bit-identical to the single-table UDF for the same seed
+    (same rng draw order). Like the single-table UDF, ``dim`` may be
+    omitted and is learned from the data executor-side."""
+    from pyspark.sql.types import ArrayType
+
+    planes_cache: dict[int, np.ndarray] = {}
+
+    def _planes(d: int) -> np.ndarray:
+        p = planes_cache.get(d)
+        if p is None:
+            p = np.random.default_rng(seed).standard_normal((d, bits * tables)).astype(np.float32)
+            planes_cache[d] = p
+        return p
+
+    if dim is not None:
+        _planes(dim)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return [0] * tables
+            a = np.asarray(v, dtype=np.float32)
+            proj = a @ _planes(len(a))
+            out = []
+            for t in range(tables):
+                b = np.packbits(proj[t * bits : (t + 1) * bits] > 0).tobytes()[:8]
+                out.append(int.from_bytes(b, "big") & ((1 << 63) - 1))
+            return out
+
+        return vecs.map(one)
+
+    return _sigs
+
+
 def lsh_bucketed_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -110,15 +149,25 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 7,
+    tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's hyperplane
-    bucket. Same output shape as brute_force_topk (rank within bucket)."""
-    sig = hyperplane_signature_udf(dim, bits, seed)
-    v = vectors.withColumn("bucket", sig(F.col(vec_col)))
-    q = queries.select(query_id_col, F.col(vec_col).alias("qvec")).withColumn(
-        "bucket", sig(F.col("qvec"))
+    bucket(s). ``tables`` independent hash tables are the recall knob:
+    a true neighbor is missed only if it disagrees with the query in
+    EVERY table (miss rate decays geometrically in ``tables`` at the
+    cost of ~tables× candidate volume). Candidates are deduped before
+    scoring, so each (query, vector) pair is scored once. Same output
+    shape as brute_force_topk (rank within the candidate set)."""
+    sig = hyperplane_signatures_udf(dim, bits, seed, tables)
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col), F.posexplode(sig(F.col(vec_col))).alias("t", "bucket")
     )
-    joined = v.join(F.broadcast(q), "bucket")
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("qvec"),
+        F.posexplode(sig(F.col(vec_col))).alias("t", "bucket"),
+    )
+    joined = v.join(F.broadcast(q), ["t", "bucket"]).dropDuplicates([query_id_col, id_col])
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),

