@@ -2,13 +2,35 @@
 
 SURVEY.md §7.3.3 keeps the table format behind a small interface so the
 engine can target real Apache Iceberg when its runtime jar is on the
-classpath: ``MERGE INTO`` for the upsert, snapshot summary properties
-for the exactly-once batch-id ledger. This sandbox has no Iceberg jar
-(no network), so construction raises unless the catalog is actually
-configured — the built-in merge-on-read lake (lake.py) implements the
-same contract (append deltas, LWW resolution, atomic commits,
-idempotent batch ids) in pure Spark + parquet and is what tests and
-benches run against.
+classpath. This sandbox has no Iceberg jar (no network), so construction
+raises unless the catalog is actually configured — the built-in
+merge-on-read lake (lake.py) implements the same contract (append
+deltas, LWW resolution, atomic commits, idempotent batch ids) in pure
+Spark + parquet and is what tests and benches run against.
+
+Exactly-once design (mirrors lake.py, adapted to Iceberg's commit
+model, where a MERGE and a property write are separate snapshots and
+therefore cannot be made atomic together from SQL):
+
+* **Tombstones are rows, not DELETEs.** The table keeps a ``deleted``
+  flag plus the binlog ``seq``; the MERGE updates a key only WHEN the
+  incoming ``seq`` is higher and inserts unmatched rows (including
+  tombstones). ``read()`` filters tombstones out. This makes every
+  batch MERGE *idempotent and order-safe by construction*: re-delivery
+  finds equal seqs and changes nothing, and a late lower-seq upsert can
+  never resurrect a key deleted at a higher seq (the failure mode of a
+  naive WHEN MATCHED ... DELETE, which forgets the seq fence).
+* **Batch-id ledger is an optimization, not a correctness hinge.** A
+  separate append-only ``<table>_commits`` ledger records applied batch
+  ids so re-delivered batches can be skipped without re-running the
+  MERGE. A crash between MERGE and ledger-append merely re-runs an
+  idempotent MERGE on re-delivery; a duplicate ledger row is harmless
+  (``committed_batch_ids`` returns a set). Nothing requires the two
+  commits to be atomic.
+
+Tombstone retention matches lake.py (kept through compaction); an
+Iceberg deployment would age them out with a DELETE WHERE older than
+the maximum source re-delivery horizon.
 
 Interface parity with ``lake.LakeTable``:
     committed_batch_ids() / read() / append_delta(delta, touched, id)
@@ -32,8 +54,6 @@ def iceberg_available(spark: SparkSession) -> bool:
 class IcebergLakeTable:
     """Same sink contract as lake.LakeTable, on an Iceberg catalog table."""
 
-    BATCH_PROP = "chunker-spark.batch-id"
-
     def __init__(self, spark: SparkSession, table: str) -> None:
         if not iceberg_available(spark):
             raise RuntimeError(
@@ -42,31 +62,34 @@ class IcebergLakeTable:
             )
         self.spark = spark
         self.table = table
+        self.ledger = f"{table}_commits"
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.ledger} (batch_id STRING, ts TIMESTAMP) USING iceberg"
+        )
 
     def committed_batch_ids(self) -> set[str]:
-        rows = self.spark.sql(
-            f"SELECT summary['{self.BATCH_PROP}'] AS b FROM {self.table}.snapshots"
-        ).collect()
-        return {r["b"] for r in rows if r["b"] is not None}
+        rows = self.spark.sql(f"SELECT batch_id FROM {self.ledger}").collect()
+        return {r["batch_id"] for r in rows}
 
     def read(self) -> DataFrame:
-        return self.spark.read.table(self.table)
+        return self.spark.read.table(self.table).where("NOT deleted")
 
     def append_delta(self, delta_rows: DataFrame, touched, batch_id: str, stats=None) -> dict:
-        """MERGE INTO keyed on (repo, path): update/insert upserts,
-        delete tombstones; then stamp the snapshot with the batch id."""
+        """Seq-fenced MERGE INTO keyed on (repo, path). Idempotent:
+        equal or lower seqs never match, tombstones persist as flagged
+        rows, so replaying this batch (crash between the MERGE and the
+        ledger append) is a no-op."""
         delta_rows.createOrReplaceTempView("__cdc_delta")
         on = " AND ".join(f"t.{c} = s.{c}" for c in KEY_COLS)
         self.spark.sql(
             f"""
             MERGE INTO {self.table} t
             USING __cdc_delta s ON {on}
-            WHEN MATCHED AND s.deleted AND s.seq > t.seq THEN DELETE
-            WHEN MATCHED AND NOT s.deleted AND s.seq > t.seq THEN UPDATE SET *
-            WHEN NOT MATCHED AND NOT s.deleted THEN INSERT *
+            WHEN MATCHED AND s.seq > t.seq THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
             """
         )
         self.spark.sql(
-            f"ALTER TABLE {self.table} SET TBLPROPERTIES ('{self.BATCH_PROP}'='{batch_id}')"
+            f"INSERT INTO {self.ledger} VALUES ('{batch_id}', current_timestamp())"
         )
         return {"batch_id": str(batch_id), "table": self.table, "stats": stats or {}}

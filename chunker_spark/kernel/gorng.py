@@ -63,7 +63,11 @@ class GoRand:
         # canonical block rotation; tap starts at 0, feed at LEN-TAP.
         self._tap = 0
         self._feed = RNG_LEN - RNG_TAP
-        self._pending: list[int] = []
+        #: unconsumed tail of the last drawn block — served first on the
+        #: next call so successive uint64_array calls see the exact
+        #: sequential Go math/rand stream (blocks are drawn whole for
+        #: vectorization, but never skipped)
+        self._pending = np.empty(0, dtype=np.uint64)
 
     def _draw_block(self) -> np.ndarray:
         """Produce the next RNG_LEN uint64 draws, vectorized.
@@ -90,17 +94,21 @@ class GoRand:
         return out.view(np.uint64)
 
     def uint64_array(self, count: int) -> np.ndarray:
-        """Next ``count`` uint64 draws as a numpy array."""
+        """Next ``count`` uint64 draws as a numpy array. Sequential:
+        leftover draws from the last vectorized block are buffered and
+        served first, so N calls of any sizes produce the same stream
+        as one call for the total."""
         if count <= 0:
             return np.empty(0, dtype=np.uint64)
-        blocks = []
-        have = 0
+        blocks = [self._pending]
+        have = len(self._pending)
         while have < count:
             b = self._draw_block()
             blocks.append(b)
             have += len(b)
-        out = np.concatenate(blocks)[:count]
-        return out
+        out = np.concatenate(blocks)
+        self._pending = out[count:]
+        return out[:count]
 
 
 def get_random(seed: int, count: int) -> bytes:

@@ -138,7 +138,8 @@ def get_random_pol(seed: int = 0) -> int:
 
 
 def to_expr(x: int) -> str:
-    """Human-readable polynomial expression (debugging aid)."""
+    """Human-readable polynomial expression — same output as the
+    reference's ``expand`` (polynomials.d:260-278: "x^53+…+x+1")."""
     if x == 0:
         return "0"
     terms = []
@@ -146,3 +147,24 @@ def to_expr(x: int) -> str:
         if (x >> i) & 1:
             terms.append("1" if i == 0 else ("x" if i == 1 else f"x^{i}"))
     return "+".join(terms)
+
+
+#: reference alias (polynomials.d:260 `expand`)
+expand = to_expr
+
+
+def to_hex(x: int) -> str:
+    """Coefficients in hex, identical to the reference's ``toString``
+    (polynomials.d:251-256: "0x" + lowercase hex digits)."""
+    return f"0x{x:x}"
+
+
+def parse_bin(s: str) -> int:
+    """Parse a base-2 coefficient string (reference's unittest helper
+    ``parseBin``, polynomials.d:79-83). Round-trips with ``f"{x:b}"``."""
+    return int(s, 2)
+
+
+def parse_hex(s: str) -> int:
+    """Inverse of ``to_hex`` (accepts with or without the 0x prefix)."""
+    return int(s, 16)

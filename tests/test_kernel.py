@@ -168,3 +168,42 @@ def test_polynomial_algebra():
     q, r = poly.divmod2(0x5B, 0x35)
     assert poly.add(poly.mul(q, 0x35), r) == 0x5B
     assert poly.deg(0) == -1 and poly.deg(1) == 0 and poly.deg(0x40) == 6
+
+
+def test_gorng_sequential_calls_match_one_call():
+    """uint64_array is a sequential view of Go math/rand's stream:
+    split calls of any sizes concatenate to one big call (leftover
+    block draws are buffered, never skipped)."""
+    import numpy as np
+
+    from chunker_spark.kernel.gorng import GoRand
+
+    one = GoRand(23).uint64_array(1500)
+    split = GoRand(23)
+    parts = [split.uint64_array(n) for n in (1, 606, 300, 593)]
+    assert np.array_equal(np.concatenate(parts), one)
+
+
+def test_polynomial_formatting_roundtrip():
+    """O23 parity: hex toString, expand, parseBin — pinned to the
+    reference's own unittest vectors (polynomials.d:79-83, 252-278)."""
+    from chunker_spark.kernel.polynomials import (
+        DEFAULT_POL,
+        expand,
+        parse_bin,
+        parse_hex,
+        to_hex,
+    )
+
+    assert to_hex(DEFAULT_POL) == "0x3da3358b4dc173"
+    assert parse_hex(to_hex(DEFAULT_POL)) == DEFAULT_POL
+    # reference expand() golden string for Pol(0x3DA3358B4DC173)
+    assert expand(DEFAULT_POL) == (
+        "x^53+x^52+x^51+x^50+x^48+x^47+x^45+x^41+x^40+x^37+x^36+x^34+x^32"
+        "+x^31+x^27+x^25+x^24+x^22+x^19+x^18+x^16+x^15+x^14+x^8+x^6+x^5+x^4+x+1"
+    )
+    # parseBin vectors from the reference mul unittest
+    assert parse_bin("1101") == 0b1101
+    assert parse_bin("10") == 2
+    assert parse_bin(f"{DEFAULT_POL:b}") == DEFAULT_POL
+    assert expand(0) == "0"
