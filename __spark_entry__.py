@@ -289,6 +289,38 @@ GROUP BY 1, 2
 """
 
 
+def q_events_windowed(spark, sf):
+    """True tumbling-window aggregation via F.window (5-minute buckets —
+    not expressible as date_trunc), the batch face of the streaming
+    rollup operator (cdc.streaming.windowed_event_metrics; the streaming
+    run with watermark is pinned by test_windowed_metrics_streaming_
+    equals_batch). NTZ timestamps keep the comparison timezone-proof."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 4).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 4) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_doc_sha256(spark, sf):
     """The content-sha256 invariant column (BASELINE.json input_hint)."""
     d = _t(spark, sf, "documents")
@@ -590,6 +622,19 @@ def q_lsh_ann(spark, sf):
     return lsh_bucketed_topk(v, q, k=5, bits=3, tables=12)
 
 
+def q_ivf_ann(spark, sf):
+    """IVF (k-means coarse quantizer) approximate nearest neighbours —
+    the second scale path next to hyperplane LSH; recall contract
+    pinned by tests/test_ops.py::test_ivf_ann_recall_vs_brute_force."""
+    from chunker_spark.ops.similarity import ivf_topk
+
+    v = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = v.where(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(v, q, k=5, n_centroids=16, nprobe=12)
+
+
 def q_media_features(spark, sf):
     """Multimodal plumbing: binary payloads → feature vectors
     (deterministic fake decoder; real decode is the stubbed seam)."""
@@ -682,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lww": q_events_lww,
         "events_gap_audit": q_events_gap_audit,
         "events_minutely": q_events_minutely,
+        "events_windowed": q_events_windowed,
         "doc_sha256": q_doc_sha256,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -695,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "media_features": q_media_features,
         "cdc_replay": q_cdc_replay,
     }
@@ -710,6 +757,7 @@ def oracle_sql() -> dict[str, str]:
         "events_lww": SQL_EVENTS_LWW,
         "events_gap_audit": SQL_EVENTS_GAP_AUDIT,
         "events_minutely": SQL_EVENTS_MINUTELY,
+        "events_windowed": SQL_EVENTS_WINDOWED,
         "doc_sha256": SQL_DOC_SHA256,
         "doc_tokens": SQL_DOC_TOKENS,
         "doc_quality": SQL_DOC_QUALITY,

@@ -111,3 +111,32 @@ class IngestStream:
             .start()
         )
         query.awaitTermination()
+
+
+def windowed_event_metrics(events, window: str = "1 minute", watermark: str = "10 minutes"):
+    """Tumbling event-time window rollup over a CDC event stream: per
+    (window, op) event counts and content byte volume.
+
+    Works on a streaming OR batch DataFrame with the event shape —
+    streaming inputs get a watermark so window state is finalized and
+    evicted once event time passes ``watermark`` (late rows beyond it
+    are dropped, the standard completeness/liveness trade). Used as the
+    per-minute ingest metrics surface; at scale the shuffle carries one
+    partial aggregate per (task, window, op), never raw events.
+    """
+    from pyspark.sql import functions as F
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "op")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(F.sum(F.length(F.col("content").cast("binary"))), F.lit(0)).alias("bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("op"),
+            F.col("n_events"),
+            F.col("bytes"),
+        )
+    )

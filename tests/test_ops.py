@@ -202,3 +202,25 @@ def test_lsh_ann_recall_vs_brute_force(spark):
         for r in lsh_bucketed_topk(v, q, k=5, bits=3, tables=12).collect()
     }
     assert len(lsh & brute) / len(brute) >= 0.9
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    """IVF recall contract at the checked operating point (16 cells,
+    nprobe=12): recall@5 >= 0.9 vs brute force over 20 queries.
+    (These embeddings are near-random — the hardest case for any
+    coarse quantizer — so the operating point probes most cells; on
+    clustered real-world embeddings the same shape runs at nprobe <<
+    n_centroids.)"""
+    from chunker_spark.ops.similarity import ivf_topk
+
+    v = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    q = v.where("vec_id < 20").select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(v, q, k=5).collect()}
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(v, q, k=5, n_centroids=16, nprobe=12).collect()
+    }
+    assert len(ivf & brute) / len(brute) >= 0.9

@@ -46,3 +46,37 @@ def test_duplicate_events_dropped(spark, tmp_path):
     got_keys = {(r["repo"], r["path"], r["commit"]) for r in got.collect()}
     exp_keys = {(r["repo"], r["path"], r["commit"]) for r in exp_rows}
     assert got_keys == exp_keys
+
+
+def test_windowed_metrics_streaming_equals_batch(spark, tmp_path):
+    """Real F.window tumbling rollup with a watermark, run as a
+    Structured Stream (availableNow → memory sink, complete mode) —
+    results equal the same aggregation computed in batch."""
+    from chunker_spark.cdc.events import EVENT_SCHEMA
+    from chunker_spark.cdc.streaming import windowed_event_metrics
+
+    spec = GenSpec(seed=9, n_keys=20, mean_blocks=2)
+    seg_dir = str(tmp_path / "segments")
+    write_segments(spark, spec, 300, seg_dir, n_segments=3)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(seg_dir)
+    q = (
+        windowed_event_metrics(stream, window="1 minute", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("win_metrics")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["window_start"]), r["op"]): (r["n_events"], r["bytes"])
+        for r in spark.sql("SELECT * FROM win_metrics").collect()
+    }
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(seg_dir)
+    exp = {
+        (str(r["window_start"]), r["op"]): (r["n_events"], r["bytes"])
+        for r in windowed_event_metrics(batch).collect()
+    }
+    assert got == exp
+    assert len(exp) > 3  # multiple windows and ops actually present
