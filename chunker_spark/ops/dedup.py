@@ -26,10 +26,13 @@ from pyspark.sql.types import ArrayType, LongType
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per exact normalized text.
-    Aggregates on a 64-bit fingerprint, never shuffling the text."""
-    norm = F.xxhash64(F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))))
+    Aggregates on a sha256 fingerprint, never shuffling the text —
+    32-byte keys instead of the payload, and collision-safe at any
+    corpus size (a 64-bit hash would expect spurious merges from ~2^32
+    documents; "exact" dedup must never merge distinct docs)."""
+    norm = F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return (
-        df.withColumn("fp", norm)
+        df.withColumn("fp", F.sha2(norm.cast("binary"), 256))
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .drop("fp")

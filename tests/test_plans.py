@@ -95,5 +95,55 @@ def test_lww_shuffles_keys_not_content(spark):
     plan = _plan(df)
     # the only exchange in the plan belongs to the winners agg (3 cols)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
-    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    exchanges = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert exchanges, plan  # the winners aggregate must shuffle
     assert all("content" not in l for l in exchanges)
+
+
+def test_dedup_exact_shuffle_key_is_fingerprint(spark):
+    """q_dedup_exact must aggregate on the 64-hex sha256 fingerprint —
+    the exchange partitions on `fp`, never on the raw text column."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_dedup_exact(spark, SF))
+    exchanges = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert exchanges, plan
+    assert all("fp#" in l for l in exchanges)
+    assert all("text#" not in l for l in exchanges)
+
+
+def test_embedding_dedup_has_no_cartesian_join(spark):
+    """The exact embedding near-dup path must not plan an all-pairs
+    join: candidates come from the blocked-matmul applyInPandas stage,
+    verify joins are equi-joins on candidate ids."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_embedding_dedup(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the blocked matmul stage
+
+
+def test_minhash_band_join_is_fixed_width_and_sig_reused(spark):
+    """The banded candidate join partitions on (band, bkt) without the
+    64-long signature arrays; signatures come from one persisted
+    computation (InMemoryTableScan on banding + both verify sides).
+    Broadcast is disabled so the test sees the shuffle plan this join
+    gets at scale (at sf0.001 everything would broadcast)."""
+    from chunker_spark.ops.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    band_exchanges = [
+        l for l in plan.splitlines()
+        if "hashpartitioning(" in l and "band#" in l
+    ]
+    assert band_exchanges, plan
+    assert all("sig#" not in l for l in band_exchanges)
+    assert plan.count("InMemoryTableScan") >= 3  # banding + both verify joins
