@@ -62,6 +62,7 @@ class IngestStream:
         checkpoint_dir: str,
         params: ChunkerParams = SOURCE_PARAMS,
         max_files_per_trigger: int | None = None,
+        max_bytes_per_trigger: int | None = None,  # bytes, e.g. 512 << 20 — the 10^10-scale knob
         fail_after_batches: int | None = None,  # test hook: simulated crash
         dedup_watermark: str | None = None,  # e.g. "10 minutes"
     ) -> None:
@@ -71,6 +72,10 @@ class IngestStream:
         self.checkpoint_dir = checkpoint_dir
         self.params = params
         self.max_files_per_trigger = max_files_per_trigger
+        # at production scale micro-batches are bounded by BYTES, not
+        # file count: segment sizes vary, and the LWW/broadcast cutover
+        # and executor memory sizing both key off batch volume
+        self.max_bytes_per_trigger = max_bytes_per_trigger
         self.fail_after_batches = fail_after_batches
         self.dedup_watermark = dedup_watermark
         self.batches_seen = 0
@@ -93,6 +98,8 @@ class IngestStream:
         reader = self.spark.readStream.schema(EVENT_SCHEMA)
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        if self.max_bytes_per_trigger:
+            reader = reader.option("maxBytesPerTrigger", int(self.max_bytes_per_trigger))
         stream = reader.parquet(self.events_dir)
         if self.dedup_watermark:
             # event-time dedup for at-least-once upstream producers:

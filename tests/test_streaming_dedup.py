@@ -37,6 +37,7 @@ def test_duplicate_events_dropped(spark, tmp_path):
         str(tmp_path / "ckpt"),
         params=PARAMS,
         dedup_watermark="10 minutes",
+        max_bytes_per_trigger=1 << 30,  # exercises the size-bounded trigger
     )
     stream.run_available()
 
