@@ -110,15 +110,21 @@ def apply_batch(
     """Apply one micro-batch of raw change events. Returns the commit
     dict, or None when the batch was already committed (no-op replay).
 
-    LWW strategy is picked per batch from plan statistics: batches whose
-    estimated row count (an upper bound on key cardinality) exceeds
-    ``broadcast_threshold`` use the single-shuffle ``max_by`` aggregation
-    (unconditionally memory-safe); smaller ones use the broadcast-winners
-    semi-join, under which content crosses one shuffle instead of two.
-    Batches with no plan statistics (in-memory test/synth sources) keep
-    the broadcast default — production ingest arrives via the file
-    streaming source, whose size statistics are real, and callers with
-    unbounded stat-less batches can pass ``broadcast_threshold=0``."""
+    LWW strategy is picked per batch in two tiers. Tier 1 is free:
+    Catalyst plan statistics give a row-count UPPER bound (file sizes /
+    48-byte minimum rows); if even that bound fits under
+    ``broadcast_threshold``, broadcast-winners is safe with no further
+    work. Tier 2 runs only when the bound exceeds the threshold: one
+    slim job counts the batch's DISTINCT KEYS exactly — column pruning
+    means the scan reads the two key columns, never content — and the
+    exact cardinality decides. (The size bound alone is ~2 orders too
+    conservative for content-heavy CDC rows: a 3 GB batch of 4 KiB
+    files has ~800k rows, not 67M, and the broadcast path saves a full
+    content shuffle — worth one key-width counting job.) Batches with
+    no plan statistics (in-memory test/synth sources) keep the
+    broadcast default without the count, matching micro-batch reality;
+    callers with unbounded stat-less batches pass
+    ``broadcast_threshold=0`` to force the always-safe shuffle path."""
     spark = lake.spark
     if str(batch_id) in lake.committed_batch_ids():
         return None  # exactly-once: duplicate delivery is a no-op
@@ -127,7 +133,13 @@ def apply_batch(
         use_broadcast = False
     else:
         est = _estimated_rows(raw_events)
-        use_broadcast = est is None or est <= broadcast_threshold
+        if est is None or est <= broadcast_threshold:
+            use_broadcast = True
+        else:
+            n_keys = (
+                normalize_events(raw_events).select(*KEY_COLS).distinct().count()
+            )
+            use_broadcast = n_keys <= broadcast_threshold
     events = normalize_events(raw_events)
     # The reduced batch: upserts with manifests + delete tombstones.
     # Deletes have null content, so the manifest UDF passes them
