@@ -92,6 +92,12 @@ class LakeTable:
         with open(f"{self.root}/meta/{files[-1]}") as f:
             return json.load(f)
 
+    def commit_at(self, commit_seq: int) -> dict:
+        """Load a specific commit (time travel — every commit's file map
+        stays readable until its data files are compacted away)."""
+        with open(f"{self.root}/meta/commit-{commit_seq:012d}.json") as f:
+            return json.load(f)
+
     def committed_batch_ids(self) -> set[str]:
         """Every batch id ever committed, from the LATEST commit only:
         each commit carries the full id ledger (``batch_ids``), so the
@@ -131,17 +137,20 @@ class LakeTable:
         keys = [str(b) for b in buckets] if buckets is not None else list(fmap)
         return [p for k in keys for p in fmap.get(k, [])]
 
-    def read_files(self, buckets: list[int] | None = None) -> DataFrame:
-        """Raw delta/base rows (with seq + deleted), unresolved."""
-        paths = self._files_for(self.current_commit(), buckets)
+    def read_files(self, buckets: list[int] | None = None, at: int | None = None) -> DataFrame:
+        """Raw delta/base rows (with seq + deleted), unresolved.
+        ``at`` selects a historical commit (time travel)."""
+        commit = self.commit_at(at) if at is not None else self.current_commit()
+        paths = self._files_for(commit, buckets)
         if not paths:
             return self.spark.createDataFrame([], FILE_SCHEMA)
         return self.spark.read.schema(FILE_SCHEMA).parquet(*paths)
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current table state (resolved, tombstones dropped),
+    def read(self, buckets: list[int] | None = None, at: int | None = None) -> DataFrame:
+        """Table state (resolved, tombstones dropped) — current, or as of
+        commit ``at`` (time travel; Iceberg snapshot-read parity),
         optionally restricted to buckets (bucket pruning)."""
-        return resolve_state(self.read_files(buckets)).select(
+        return resolve_state(self.read_files(buckets, at=at)).select(
             *[F.col(f.name) for f in TABLE_SCHEMA.fields]
         )
 

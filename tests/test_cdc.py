@@ -218,3 +218,23 @@ def test_batch_id_ledger_is_o1(spark, tmp_path):
     assert lake.committed_batch_ids() == {"L0", "L1", "L2"}
     # replay of an OLD batch (not just the latest) is still a no-op
     assert apply_batch(lake, _events_df(spark, events[0:50]), "L0", params=PARAMS) is None
+
+
+def test_time_travel_read(spark, tmp_path):
+    """read(at=commit_seq) reproduces the state as of that commit —
+    applying batch 2 must not change what commit 0 shows (Iceberg
+    snapshot-read parity on the built-in lake)."""
+    events = list(gen_events_local(SPEC, 200))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4)
+    apply_batch(lake, _events_df(spark, events[:100]), "t0", params=PARAMS)
+    at0 = {(r["repo"], r["path"], r["commit"]) for r in
+           lake.read().select("repo", "path", "commit").collect()}
+    apply_batch(lake, _events_df(spark, events[100:200]), "t1", params=PARAMS)
+    # historical read sees exactly the batch-0 state; current sees both
+    back = {(r["repo"], r["path"], r["commit"]) for r in
+            lake.read(at=0).select("repo", "path", "commit").collect()}
+    assert back == at0
+    exp = {(r["repo"], r["path"], r["commit"]) for r in state_rows(replay(events))}
+    now = {(r["repo"], r["path"], r["commit"]) for r in
+           lake.read().select("repo", "path", "commit").collect()}
+    assert now == exp and now != at0
