@@ -624,15 +624,25 @@ def q_lsh_ann(spark, sf):
 
 def q_ivf_ann(spark, sf):
     """IVF (k-means coarse quantizer) approximate nearest neighbours —
-    the second scale path next to hyperplane LSH; recall contract
-    pinned by tests/test_ops.py::test_ivf_ann_recall_vs_brute_force."""
+    the second scale path next to hyperplane LSH. SQL-checkable via the
+    self-nearest invariant: each query vector is in the corpus, always
+    probes its own k-means cell, and must come back rank-1 with cosine
+    exactly 1.0 — a broken assignment UDF, probe ordering, or scoring
+    loses it. Top-5 quality (recall@5 >= 0.9 vs brute force) is pinned
+    by tests/test_ops.py::test_ivf_ann_recall_vs_brute_force."""
     from chunker_spark.ops.similarity import ivf_topk
 
     v = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q = v.where(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_topk(v, q, k=5, n_centroids=16, nprobe=12)
+    return ivf_topk(v, q, k=5, n_centroids=16, nprobe=12).where(F.col("rank") == 1)
+
+
+SQL_IVF_ANN = """
+SELECT vec_id AS query_id, vec_id, CAST(1.0 AS DOUBLE) AS cosine, 1 AS rank
+FROM embeddings WHERE vec_id < 4
+"""
 
 
 def q_media_features(spark, sf):
@@ -768,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_store": SQL_CHUNK_STORE,
         "minhash_pairs": SQL_MINHASH_PAIRS,
         "simhash": SQL_SIMHASH,
+        "ivf_ann": SQL_IVF_ANN,
         "cdc_replay": _sql_cdc_replay_with_fixture(),
         # doc_manifest / lang_id / lsh_ann / media_features:
         # engine-specific (kernel manifests, heuristic lang-id, LSH
