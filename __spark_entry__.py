@@ -577,6 +577,32 @@ FROM documents
 """
 
 
+def q_ngram_pairs(spark, sf):
+    """Exact word-3-gram Jaccard through the inverted-index join, on
+    the same planted-duplicate completeness invariant as minhash_pairs:
+    every document must pair with its id-shifted copy at Jaccard
+    exactly 1.0 (every fixture doc has >= 10 words, so gram sets are
+    never empty). Near-dup scores on non-identical texts are pinned by
+    tests/test_ops.py::test_ngram_jaccard."""
+    from chunker_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = d.select((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text")
+    # single small parquet file -> 2 input splits; spread the shingle
+    # UDF across the cluster (real corpora arrive already well-split)
+    union = d.unionByName(planted).repartition(spark.sparkContext.defaultParallelism)
+    pairs = ngram_jaccard_pairs(union, n=3, threshold=0.5)
+    return pairs.where(F.col("id_b") - F.col("id_a") == _COPY_OFFSET)
+
+
+SQL_NGRAM_PAIRS = f"""
+SELECT doc_id AS id_a,
+       doc_id + {_COPY_OFFSET} AS id_b,
+       CAST(1.0 AS DOUBLE) AS jaccard
+FROM documents
+"""
+
+
 def q_simhash(spark, sf):
     """SimHash algebraic invariants, SQL-checkable: the hash is a pure
     function of the lowercased word multiset, so reversing word order
@@ -748,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_tiling": q_manifest_tiling,
         "chunk_store": q_chunk_store,
         "minhash_pairs": q_minhash_pairs,
+        "ngram_pairs": q_ngram_pairs,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "lsh_ann": q_lsh_ann,
@@ -777,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
         "manifest_tiling": SQL_MANIFEST_TILING,
         "chunk_store": SQL_CHUNK_STORE,
         "minhash_pairs": SQL_MINHASH_PAIRS,
+        "ngram_pairs": SQL_NGRAM_PAIRS,
         "simhash": SQL_SIMHASH,
         "ivf_ann": SQL_IVF_ANN,
         "cdc_replay": _sql_cdc_replay_with_fixture(),

@@ -40,13 +40,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the session (JVM codegen, python workers, parquet footers)
-    # so the first timed query isn't charged cold-start costs
+    # so the first timed query isn't charged cold-start costs; the
+    # warmup fans one Arrow task to every core so ALL python workers
+    # exist before timing starts (a 1-partition warmup would leave 31
+    # cold workers to be paid for by the first pandas-UDF query)
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
-    import pandas as _pd
-
-    spark.createDataFrame(_pd.DataFrame({"x": ["warm"]})).mapInPandas(
-        lambda it: it, "x string"
-    ).count()
+    spark.range(0, cpus, 1, cpus).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     row_counts: dict[str, int] = {}

@@ -224,3 +224,40 @@ def test_ivf_ann_recall_vs_brute_force(spark):
         for r in ivf_topk(v, q, k=5, n_centroids=16, nprobe=12).collect()
     }
     assert len(ivf & brute) / len(brute) >= 0.9
+
+
+def test_ngram_jaccard_prefix_join_is_exact(spark):
+    """The prefix-filtered set-similarity join must return EXACTLY the
+    pairs a naive all-pairs Jaccard finds — the prefix/size-ratio
+    prunes are completeness-preserving (AllPairs theorem). Randomized
+    corpus with heavy vocabulary overlap to stress the filter."""
+    import itertools
+    import random
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 40))))
+        for i in range(40)
+    ]
+    # brute-force truth in plain Python (hash-free set jaccard on word 3-grams)
+    def grams(t):
+        ws = [w for w in t.lower().split() if w]
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    t = 0.3
+    truth = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        ga, gb = grams(ta), grams(tb)
+        if not ga or not gb:
+            continue
+        j = len(ga & gb) / len(ga | gb)
+        if j >= t:
+            truth[(ia, ib)] = round(j, 6)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=3, threshold=t).collect()
+    }
+    assert got == truth
