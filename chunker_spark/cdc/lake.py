@@ -216,7 +216,7 @@ class LakeTable:
         commit = {
             "commit_seq": seq,
             "batch_id": str(batch_id),
-            "batch_ids": sorted(prev_ids | {str(batch_id)}),
+            "batch_ids": sorted(prev_ids | {str(batch_id)}),  # full ledger (O(1) reads)
             "ts": time.time(),
             "kind": "delta" + ("+compact" if over else ""),
             "num_buckets": self.num_buckets,
@@ -227,3 +227,43 @@ class LakeTable:
         }
         self._write_commit(commit)
         return commit
+
+    # ---- maintenance -------------------------------------------------
+
+    def expire_commits(self, keep_last: int = 2) -> dict:
+        """Expire old commits and garbage-collect their data files
+        (Iceberg ``expire_snapshots`` parity). Compaction replaces a
+        bucket's file LIST in the new commit but never deletes the old
+        files — historical commits stay time-travel-readable. Over 10⁴+
+        batches that is unbounded storage; this bounds it: keep the
+        newest ``keep_last`` commits, delete older commit JSONs, and
+        remove every data file no retained commit references. The
+        batch-id ledger lives in the latest commit, so exactly-once
+        replay detection survives expiry for ALL history. Returns
+        {removed_commits, removed_files, kept_commits}."""
+        names = self._commit_files()
+        if len(names) <= keep_last:
+            return {"removed_commits": 0, "removed_files": 0, "kept_commits": len(names)}
+        keep, drop = names[-keep_last:], names[:-keep_last]
+        referenced: set[str] = set()
+        for name in keep:
+            with open(f"{self.root}/meta/{name}") as f:
+                for fl in json.load(f)["files"].values():
+                    referenced.update(fl)
+        removed_files = 0
+        data_root = f"{self.root}/data"
+        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+            for fn in filenames:
+                p = f"{dirpath}/{fn}"
+                if fn.endswith(".parquet") and p not in referenced:
+                    os.remove(p)
+                    removed_files += 1
+            if dirpath != data_root and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        for name in drop:
+            os.remove(f"{self.root}/meta/{name}")
+        return {
+            "removed_commits": len(drop),
+            "removed_files": removed_files,
+            "kept_commits": len(keep),
+        }

@@ -238,3 +238,28 @@ def test_time_travel_read(spark, tmp_path):
     now = {(r["repo"], r["path"], r["commit"]) for r in
            lake.read().select("repo", "path", "commit").collect()}
     assert now == exp and now != at0
+
+
+def test_expire_commits_bounds_storage_and_keeps_state(spark, tmp_path):
+    """expire_commits garbage-collects unreferenced data files and old
+    commit JSONs; the current state, time travel within the retained
+    window, and the exactly-once ledger all survive."""
+    import glob as _glob
+
+    events = list(gen_events_local(SPEC, 400))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2, compact_threshold=3)
+    for i, lo in enumerate(range(0, 400, 50)):
+        apply_batch(lake, _events_df(spark, events[lo : lo + 50]), f"e{i}", params=PARAMS)
+    files_before = len(_glob.glob(f"{lake.root}/data/**/*.parquet", recursive=True))
+    stats = lake.expire_commits(keep_last=2)
+    assert stats["removed_commits"] == 6 and stats["kept_commits"] == 2
+    files_after = len(_glob.glob(f"{lake.root}/data/**/*.parquet", recursive=True))
+    assert files_after < files_before
+    assert stats["removed_files"] == files_before - files_after
+    # current state still equals the oracle over all 400 events
+    _assert_state_equals_oracle(spark, lake, events)
+    # the full batch-id ledger survives: replaying batch e0 is a no-op
+    assert apply_batch(lake, _events_df(spark, events[0:50]), "e0", params=PARAMS) is None
+    # time travel within the retained window still resolves
+    prev_seq = lake.current_commit()["commit_seq"] - 1
+    assert lake.read(at=prev_seq).count() > 0
