@@ -65,6 +65,8 @@ class IngestStream:
         max_bytes_per_trigger: int | None = None,  # bytes, e.g. 512 << 20 — the 10^10-scale knob
         fail_after_batches: int | None = None,  # test hook: simulated crash
         dedup_watermark: str | None = None,  # e.g. "10 minutes"
+        expire_every: int | None = None,  # run commit expiry every N commits
+        expire_keep_last: int = 8,  # retained time-travel window
     ) -> None:
         self.spark = spark
         self.lake = lake
@@ -78,12 +80,21 @@ class IngestStream:
         self.max_bytes_per_trigger = max_bytes_per_trigger
         self.fail_after_batches = fail_after_batches
         self.dedup_watermark = dedup_watermark
+        # amortized maintenance: without expiry a long-running stream
+        # accumulates every commit JSON + every superseded data file
+        # (they back time travel); expire_every bounds both while
+        # keeping an expire_keep_last-commit time-travel window and the
+        # full batch-id ledger (it rides the latest commit)
+        self.expire_every = expire_every
+        self.expire_keep_last = expire_keep_last
         self.batches_seen = 0
 
     def _handle_batch(self, df, batch_id: int) -> None:
         commit = apply_batch(self.lake, df, batch_id, params=self.params)
         if commit is not None:
             _append_metrics(self.lake, commit, batch_id)
+            if self.expire_every and (commit["commit_seq"] + 1) % self.expire_every == 0:
+                self.lake.expire_commits(keep_last=self.expire_keep_last)
         self.batches_seen += 1
         if self.fail_after_batches and self.batches_seen >= self.fail_after_batches:
             # simulated crash AFTER the lake commit but BEFORE Spark

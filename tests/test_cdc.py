@@ -99,10 +99,13 @@ def test_streaming_replay_and_metrics(spark, tmp_path):
     write_segments(spark, SPEC, N_EVENTS, seg_dir, n_segments=5)
     lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=8)
     stream = IngestStream(
-        spark, lake, seg_dir, str(tmp_path / "ckpt"), params=PARAMS, max_files_per_trigger=2
+        spark, lake, seg_dir, str(tmp_path / "ckpt"), params=PARAMS, max_files_per_trigger=2,
+        expire_every=2, expire_keep_last=2,  # amortized snapshot expiry in-stream
     )
     stream.run_available()
     _assert_state_equals_oracle(spark, lake, events)
+    assert len(lake._commit_files()) <= 2 + 1  # expiry ran; ledger intact
+    assert len(lake.committed_batch_ids()) == 3
     metrics = spark.read.parquet(f"{lake.root}/metrics")
     assert metrics.count() > 0
     assert metrics.where(F.col("upsert_chunks") <= 0).count() == 0

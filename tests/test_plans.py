@@ -147,3 +147,25 @@ def test_minhash_band_join_is_fixed_width_and_sig_reused(spark):
     assert band_exchanges, plan
     assert all("sig#" not in l for l in band_exchanges)
     assert plan.count("InMemoryTableScan") >= 3  # banding + both verify joins
+
+
+def test_salted_repartition_spreads_monorepo_keys(spark):
+    """Monorepo skew: a batch whose keys all live in one repo must still
+    spread across partitions for the chunking stage (north_rule salted
+    repartition) — no partition holds more than a small multiple of the
+    mean."""
+    from chunker_spark.cdc.merge import salted_repartition
+
+    rows = [("repo-0", f"src/f{i}.py", f"c{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string")
+    parts = 16
+    sizes = (
+        salted_repartition(df, parts)
+        .rdd.glom()
+        .map(len)
+        .collect()
+    )
+    assert len(sizes) == parts
+    nonempty = [s for s in sizes if s]
+    assert len(nonempty) >= parts // 2  # most partitions carry work
+    assert max(sizes) <= 3 * (2000 / parts)  # no hot partition
