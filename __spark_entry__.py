@@ -31,6 +31,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: planted-duplicate id shift for the completeness-invariant oracles
+#: (minhash/ngram/embedding-LSH); >> any doc_id/vec_id at every sf
+_COPY_OFFSET = 1_000_000
+
+
 # ---------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------
@@ -468,6 +473,33 @@ SELECT id_a, id_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= 0.35
 """
 
 
+def q_embedding_dedup_lsh(spark, sf):
+    """The hyperplane-LSH (bits>0) scale path of embedding near-dup,
+    oracle-checked by planted-duplicate completeness: every vector
+    unioned with an id-shifted exact copy shares all hyperplane
+    signatures with it, so the bucketed candidate join MUST surface the
+    pair and the exact verify MUST score it cosine 1.0. A broken
+    signature UDF, bucket join, or verify loses rows or values."""
+    from chunker_spark.ops.dedup import embedding_near_dup_pairs
+
+    v = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = v.select((F.col("vec_id") + _COPY_OFFSET).alias("vec_id"), "embedding")
+    pairs = embedding_near_dup_pairs(
+        v.unionByName(planted), threshold=0.999999, bits=8
+    )
+    return pairs.where(F.col("id_b") - F.col("id_a") == _COPY_OFFSET)
+
+
+SQL_EMBEDDING_DEDUP_LSH = f"""
+SELECT vec_id AS id_a,
+       vec_id + {_COPY_OFFSET} AS id_b,
+       CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings
+"""
+
+
 def q_manifest_tiling(spark, sf):
     """Chunk-manifest tiling invariant, SQL-checkable: the sum of chunk
     lengths per document must equal the content's UTF-8 byte length,
@@ -548,9 +580,6 @@ def q_chunk_store(spark, sf):
 SQL_CHUNK_STORE = """
 SELECT CAST(sum(strlen(text)) AS BIGINT) AS store_bytes FROM documents
 """
-
-_COPY_OFFSET = 1_000_000  # planted-duplicate id shift (>> any doc_id)
-
 
 def q_minhash_pairs(spark, sf):
     """MinHash+LSH completeness invariant: the corpus has no natural
@@ -638,14 +667,24 @@ def q_lsh_ann(spark, sf):
     """LSH-bucketed approximate nearest neighbours (scale path):
     multi-table hyperplane LSH at the ≥0.9-recall operating point
     measured against brute force (tests/test_ops.py pins the recall
-    contract). dim is derived executor-side — no driver collect."""
+    contract). dim is derived executor-side — no driver collect.
+    SQL-checkable via the self-nearest invariant (each query vector is
+    in the corpus, shares every table bucket with itself, and must
+    come back rank-1 at cosine exactly 1.0); top-5 quality is the
+    pytest recall contract."""
     from chunker_spark.ops.similarity import lsh_bucketed_topk
 
     v = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q = v.where(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_bucketed_topk(v, q, k=5, bits=3, tables=12)
+    return lsh_bucketed_topk(v, q, k=5, bits=3, tables=12).where(F.col("rank") == 1)
+
+
+SQL_LSH_ANN = """
+SELECT vec_id AS query_id, vec_id, CAST(1.0 AS DOUBLE) AS cosine, 1 AS rank
+FROM embeddings WHERE vec_id < 4
+"""
 
 
 def q_ivf_ann(spark, sf):
@@ -769,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
         "embedding_dedup": q_embedding_dedup,
+        "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "ann_topk": q_ann_topk,
         "doc_manifest": q_doc_manifest,
         "manifest_tiling": q_manifest_tiling,
@@ -800,15 +840,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": SQL_DOC_QUALITY,
         "dedup_exact": SQL_DEDUP_EXACT,
         "embedding_dedup": SQL_EMBEDDING_DEDUP,
+        "embedding_dedup_lsh": SQL_EMBEDDING_DEDUP_LSH,
         "ann_topk": SQL_ANN_TOPK,
         "manifest_tiling": SQL_MANIFEST_TILING,
         "chunk_store": SQL_CHUNK_STORE,
         "minhash_pairs": SQL_MINHASH_PAIRS,
         "ngram_pairs": SQL_NGRAM_PAIRS,
         "simhash": SQL_SIMHASH,
+        "lsh_ann": SQL_LSH_ANN,
         "ivf_ann": SQL_IVF_ANN,
         "cdc_replay": _sql_cdc_replay_with_fixture(),
-        # doc_manifest / lang_id / lsh_ann / media_features:
-        # engine-specific (kernel manifests, heuristic lang-id, LSH
-        # bucket choice, binary decode plumbing) — rows-only by design
+        # doc_manifest / lang_id / media_features: engine-specific
+        # (kernel manifests, heuristic lang-id, binary decode
+        # plumbing) — rows-only by design
     }
