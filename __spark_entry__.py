@@ -9,10 +9,11 @@
 ``oracle_sql``— DuckDB-equivalent SQL for every query whose semantics
                 SQL can express — including invariant-style oracles for
                 the engine-specific ops (chunk-store conservation,
-                planted-duplicate MinHash completeness, SimHash
-                order/case invariance, full CDC-replay final state).
-                Only kernel manifests, heuristic lang-id, LSH-ANN
-                bucket choice and binary media plumbing stay rows-only.
+                planted-duplicate MinHash/ngram/LSH-embedding
+                completeness, SimHash order/case invariance, ANN
+                self-nearest rank-1, full CDC-replay final state).
+                Only kernel manifests, heuristic lang-id and binary
+                media plumbing stay rows-only (24 of 27 checked).
 
 Numeric parity policy: aggregates compute in exact DECIMAL on both
 sides, then cast to double and round — distributed double summation is
