@@ -392,6 +392,29 @@ FROM documents
 """
 
 
+def q_doc_fingerprint(spark, sf):
+    """Document fingerprint (xxhash64 of ws/case-normalized text),
+    checked through its partition invariant: the fingerprint must
+    induce EXACTLY the grouping the normalized text induces — the
+    oracle counts distinct normalized texts directly; Spark counts
+    distinct fingerprints. Equal iff the fingerprint respects the
+    normalization equivalence AND is collision-free on the corpus."""
+    from chunker_spark.functions.text import doc_fingerprint
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(doc_fingerprint("text")).alias("n_groups"),
+    )
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT regexp_replace(lower(text), '\s+', ' ', 'g')) AS n_groups
+FROM documents
+"""
+
+
 def q_dedup_exact(spark, sf):
     """Exact dedup on normalized text: representative id + group size.
 
@@ -807,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sha256": q_doc_sha256,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
@@ -839,6 +863,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sha256": SQL_DOC_SHA256,
         "doc_tokens": SQL_DOC_TOKENS,
         "doc_quality": SQL_DOC_QUALITY,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "embedding_dedup": SQL_EMBEDDING_DEDUP,
         "embedding_dedup_lsh": SQL_EMBEDDING_DEDUP_LSH,
