@@ -69,11 +69,21 @@ class LakeTable:
         root: str,
         num_buckets: int = 16,
         compact_threshold: int = 8,
+        tombstone_horizon: int | None = None,
     ) -> None:
+        """``tombstone_horizon``: optional binlog-seq watermark below
+        which the source guarantees no more (re)deliveries — the
+        checkpointed low-watermark of the stream. Compaction then drops
+        tombstones with ``seq < horizon``: they can no longer fence
+        anything, and keeping every delete forever makes table size
+        O(all keys ever) instead of O(live keys) on churny sources.
+        Tombstones at or above the horizon are always retained, so
+        late/reordered events within the horizon stay safe."""
         self.spark = spark
         self.root = root.rstrip("/")
         self.num_buckets = num_buckets
         self.compact_threshold = compact_threshold
+        self.tombstone_horizon = tombstone_horizon
         os.makedirs(f"{self.root}/meta", exist_ok=True)
         os.makedirs(f"{self.root}/data", exist_ok=True)
 
@@ -206,6 +216,13 @@ class LakeTable:
                 ),
                 drop_tombstones=False,  # keep tombstones: late seqs stay safe
             )
+            if self.tombstone_horizon is not None:
+                # below the no-redelivery watermark a tombstone fences
+                # nothing anymore — age it out so table size tracks
+                # LIVE keys, not every key ever deleted
+                base = base.where(
+                    ~F.col("deleted") | (F.col("seq") >= F.lit(self.tombstone_horizon))
+                )
             compacted = self._write_snap(base, len(over), seq, "compact")
             for b in over:
                 files[str(b)] = compacted.get(str(b), [])

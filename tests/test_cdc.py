@@ -266,3 +266,50 @@ def test_expire_commits_bounds_storage_and_keeps_state(spark, tmp_path):
     # time travel within the retained window still resolves
     prev_seq = lake.current_commit()["commit_seq"] - 1
     assert lake.read(at=prev_seq).count() > 0
+
+
+def test_tombstone_horizon_ages_out_dead_deletes(spark, tmp_path):
+    """With a tombstone_horizon (the stream's no-redelivery watermark),
+    compaction drops tombstones fenced below it — table size tracks
+    live keys — while tombstones at/above the horizon survive for late
+    events and the resolved live state is unchanged."""
+    import pandas as pd
+
+    def ev(seq, op, k, content):
+        return dict(
+            seq=seq, ts=pd.Timestamp("2026-01-01", tz="UTC"), op=op,
+            repo="r", path=f"p{k}", commit=f"c{seq}", lang="py",
+            language=None, branch=None, content=content, schema_ver=1,
+        )
+
+    # keys 0-9: inserted then deleted EARLY (final state = old tombstone)
+    # keys 10-19: inserted, then updated many times (churn -> compaction)
+    # key 5: deleted again late (seq >= horizon) -> tombstone retained
+    events = [ev(k, "I", k, f"body-{k} " * 40) for k in range(20)]
+    events += [ev(20 + k, "D", k, None) for k in range(10)]
+    seq = 30
+    for round_ in range(12):
+        for k in range(10, 20):
+            events.append(ev(seq, "U", k, f"body-{k}-v{round_} " * 40))
+            seq += 1
+    events.append(ev(seq, "D", 5, None))  # late delete, seq >= horizon
+
+    def run(lake):
+        for i in range(0, len(events), 20):
+            apply_batch(lake, _events_df(spark, events[i : i + 20]), f"tb{i}", params=PARAMS)
+        live = {r["path"] for r in lake.read().select("path").collect()}
+        assert live == {f"p{k}" for k in range(10, 20)}
+        return lake.read_files().where(F.col("deleted")).select("path", "seq").distinct()
+
+    horizon = 30  # all early deletes (seq 20-29) are below; the late one is not
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=1, compact_threshold=3,
+                     tombstone_horizon=horizon)
+    tombs = run(lake)
+    kept = {(r["path"], r["seq"]) for r in tombs.collect()}
+    assert ("p5", seq) in kept  # in-horizon tombstone retained
+    assert not any(s < horizon for _, s in kept)  # dead tombstones aged out
+
+    # control: without a horizon, every final tombstone survives
+    lake2 = LakeTable(spark, str(tmp_path / "lake2"), num_buckets=1, compact_threshold=3)
+    tombs2 = run(lake2)
+    assert tombs2.where(F.col("seq") < horizon).count() == 10  # all early deletes kept
