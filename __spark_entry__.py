@@ -13,7 +13,7 @@
                 completeness, SimHash order/case invariance, ANN
                 self-nearest rank-1, full CDC-replay final state).
                 Only kernel manifests, heuristic lang-id and binary
-                media plumbing stay rows-only (24 of 27 checked).
+                media plumbing stay rows-only (25 of 28 checked).
 
 Numeric parity policy: aggregates compute in exact DECIMAL on both
 sides, then cast to double and round — distributed double summation is
