@@ -89,8 +89,11 @@ def fingerprints_low16(arr: np.ndarray, pol: int, k0: int = 0, k1: int | None = 
     fp = np.empty(w, dtype=np.uint16)
     # Tile the scan so the pair-index slice stays L2-resident across all
     # 32 gather passes — streaming the whole index array from DRAM per
-    # pass costs ~2x at multi-MB inputs.
-    tile = 1 << 15
+    # pass costs ~2x at multi-MB inputs. 64K positions (512 KiB of intp
+    # indices) measured best-of-3 fastest on this class of hardware
+    # (+10% vs 32K: fewer per-pass python/take fixed costs, still cache
+    # resident).
+    tile = 1 << 16
     tmp = np.empty(min(w, tile), dtype=np.uint16)
     for t0 in range(k0, k1, tile):
         t1 = min(t0 + tile, k1)
