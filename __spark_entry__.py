@@ -680,11 +680,51 @@ SELECT doc_id, true AS order_invariant, true AS case_invariant FROM documents
 
 
 def q_lang_id(spark, sf):
-    """n-gram language identification (Pandas UDF)."""
+    """n-gram language identification (Pandas UDF), oracle-checked: the
+    classifier is a pure function of trigram occurrence counts with a
+    deterministic first-max tie-break, so the oracle restates the whole
+    heuristic in SQL (replace-based substring counts + a priority CASE
+    argmax) and the two must agree on every document."""
     from chunker_spark.functions.text import language_id_udf
 
     d = _t(spark, sf, "documents")
     return d.select("doc_id", language_id_udf()(F.col("text")).alias("lang_guess"))
+
+
+def _sql_lang_id() -> str:
+    """SQL restatement of language_id_udf: per-language trigram counts
+    via non-overlapping replace (same semantics as pandas str.count on
+    literal patterns), argmax with pandas-idxmax first-max tie-break."""
+    from chunker_spark.functions.text import _PROFILES
+
+    langs = list(_PROFILES)
+    scores = []
+    for lang, grams in _PROFILES.items():
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{g}', ''))) // {len(g)}" for g in grams
+        )
+        scores.append(f"       {terms} AS s_{lang}")
+    all_s = ", ".join(f"s_{l}" for l in langs)
+    cases = [f"  WHEN greatest({all_s}) <= 0 THEN 'und'"]
+    for i, lang in enumerate(langs[:-1]):
+        rest = [f"s_{l2}" for l2 in langs[i + 1 :]]
+        others = f"greatest({', '.join(rest)})" if len(rest) > 1 else rest[0]
+        cases.append(f"  WHEN s_{lang} >= {others} THEN '{lang}'")
+    case_sql = "\n".join(cases)
+    score_sql = ",\n".join(scores)
+    return f"""
+WITH lowered AS (SELECT doc_id, coalesce(lower(text), '') AS t FROM documents),
+scored AS (
+  SELECT doc_id,
+{score_sql}
+  FROM lowered
+)
+SELECT doc_id, CASE
+{case_sql}
+  ELSE '{langs[-1]}'
+END AS lang_guess
+FROM scored
+"""
 
 
 def q_lsh_ann(spark, sf):
@@ -735,15 +775,33 @@ FROM embeddings WHERE vec_id < 4
 
 
 def q_media_features(spark, sf):
-    """Multimodal plumbing: binary payloads → feature vectors
-    (deterministic fake decoder; real decode is the stubbed seam)."""
-    from chunker_spark.ops.multimodal import extract_features, synthetic_media
+    """Multimodal plumbing, oracle-checked: binary payloads → feature
+    vectors through the real mapInPandas decode path (deterministic
+    fake decoder; real decode is the stubbed seam). Two invariants the
+    oracle pins: (1) ``payload_sha256`` recomputed executor-side equals
+    the generation-time digest stored in the fixture — the binary
+    column survives parquet → Spark → Arrow → pandas bit-for-bit; and
+    (2) every feature vector is unit-norm (Σx² rounds to 1.0)."""
+    from chunker_spark.ops.multimodal import extract_features, media_fixture_path
 
-    media = synthetic_media(spark, n=48)
+    media = spark.read.parquet(media_fixture_path(n=48)).select("media_id", "kind", "payload")
     f = extract_features(media, dim=8)
-    return f.select(
-        "media_id", "kind", "payload_sha256", F.round(F.element_at("feature", 1), 4).alias("f0")
+    sq_norm = F.aggregate(
+        "feature", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
     )
+    return f.select(
+        "media_id", "kind", "payload_sha256", F.round(sq_norm, 3).alias("feat_sq_norm")
+    )
+
+
+def _sql_media_features() -> str:
+    from chunker_spark.ops.multimodal import media_fixture_path
+
+    path = media_fixture_path(n=48)  # ensure it exists before DuckDB reads it
+    return f"""
+SELECT media_id, kind, payload_sha256, CAST(1.0 AS DOUBLE) AS feat_sq_norm
+FROM read_parquet('{path}')
+"""
 
 
 _REPLAY_FIXTURE_DIR = "/tmp/chunker_spark_fixtures/cdc_replay_v1"
@@ -816,6 +874,215 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_events_sessions(spark, sf):
+    """Gap-based sessionization (30-min idle cutoff) + per-session
+    rollup through ops.sessions: one shuffle (the key window),
+    everything downstream reuses its partitioning. Decimal-exact value
+    sums per the module-wide parity policy."""
+    from chunker_spark.ops.sessions import session_stats
+
+    e = _t(spark, sf, "events").select("user_id", "ts", "value")
+    return session_stats(e, key_col="user_id", ts_col="ts", gap_s=1800, value_col="value")
+
+
+SQL_EVENTS_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+def q_orders_returned_exists(spark, sf):
+    """EXISTS-style semi-join (TPC-H Q4 shape): orders with at least
+    one returned line, counted by priority. The lineitem side is
+    reduced to distinct keys BEFORE the join — the semi-join shuffles
+    8-byte keys, never lineitem payload."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDERS_RETURNED_EXISTS = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_order_rollup(spark, sf):
+    """ROLLUP aggregation (multi-level subtotals in one pass): order
+    counts and decimal-exact totals by (status, priority), by status,
+    and grand total. Spark plans this as a single Expand + hash agg —
+    no per-level rescans."""
+    o = _t(spark, sf, "orders")
+    dec = F.col("o_totalprice").cast("decimal(20,4)")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(dec).cast("double"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+SQL_ORDER_ROLLUP = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_quantity_percentiles(spark, sf):
+    """Exact percentiles (linear interpolation) per return flag.
+    ``percentile`` is exact and order-independent — safe to hash-match
+    against DuckDB's quantile_cont; quantities are small integers so
+    the interpolated values are exactly representable."""
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+            F.max("l_quantity").cast("double").alias("q_max"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_QUANTITY_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_quantity, 0.9) AS p90,
+       CAST(max(l_quantity) AS DOUBLE) AS q_max
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_events_props_json(spark, sf):
+    """Semi-structured JSON column: extract a key from the props JSON
+    string (JVM-side get_json_object, pipelined into the scan) and
+    aggregate over it — decimal-exact sums so the double division
+    rounds identically on both engines."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    # floor division on both sides: a double->int CAST truncates in
+    # Spark but rounds in DuckDB, so never compare through it
+    bucket = F.floor(k / F.lit(10)).cast("int")
+    return (
+        e.withColumn("k_bucket", bucket)
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,4)")).cast("double") / F.count(F.lit(1)), 2
+            ).alias("avg_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+SQL_EVENTS_PROPS_JSON = """
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS INTEGER) AS k_bucket,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / count(*), 2) AS avg_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_debezium_parse(spark, sf):
+    """Wire-format ingestion: Debezium JSON envelopes → EVENT_SCHEMA
+    (single JVM-side from_json projection, malformed rows diverted to
+    the DLQ in the same scan) → last-writer-wins final state. The
+    oracle recomputes parse + LWW + tombstone drop from the same fixture
+    with DuckDB's JSON functions."""
+    from chunker_spark.cdc.envelopes import debezium_fixture_path, split_malformed
+
+    raw = spark.read.parquet(debezium_fixture_path())
+    clean, _dlq = split_malformed(raw)
+    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
+    return (
+        clean.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("repo", "path", "commit", "seq", F.sha2("content", 256).alias("content_sha256"))
+    )
+
+
+def _sql_debezium_parse() -> str:
+    from chunker_spark.cdc.envelopes import debezium_fixture_path
+
+    path = debezium_fixture_path()  # ensure the fixture exists for DuckDB
+    return f"""
+WITH raw AS (SELECT value FROM read_parquet('{path}')),
+parsed AS (
+  SELECT CAST(json_extract_string(value, '$.source.lsn') AS BIGINT) AS seq,
+         CASE json_extract_string(value, '$.op')
+           WHEN 'c' THEN 'I' WHEN 'r' THEN 'I'
+           WHEN 'u' THEN 'U' WHEN 'd' THEN 'D' END AS op,
+         CASE WHEN json_extract_string(value, '$.op') = 'd'
+              THEN json_extract_string(value, '$.before.repo')
+              ELSE json_extract_string(value, '$.after.repo') END AS repo,
+         CASE WHEN json_extract_string(value, '$.op') = 'd'
+              THEN json_extract_string(value, '$.before.path')
+              ELSE json_extract_string(value, '$.after.path') END AS path,
+         CASE WHEN json_extract_string(value, '$.op') = 'd'
+              THEN json_extract_string(value, '$.before.commit')
+              ELSE json_extract_string(value, '$.after.commit') END AS commit,
+         CASE WHEN json_extract_string(value, '$.op') = 'd'
+              THEN json_extract_string(value, '$.before.content')
+              ELSE json_extract_string(value, '$.after.content') END AS content
+  FROM raw WHERE json_valid(value)
+),
+clean AS (
+  SELECT * FROM parsed
+  WHERE op IS NOT NULL AND seq IS NOT NULL AND repo IS NOT NULL AND path IS NOT NULL
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM clean
+)
+SELECT repo, path, commit, seq, sha256(content) AS content_sha256
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -827,6 +1094,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_audit": q_events_gap_audit,
         "events_minutely": q_events_minutely,
         "events_windowed": q_events_windowed,
+        "events_sessions": q_events_sessions,
+        "events_props_json": q_events_props_json,
+        "orders_returned_exists": q_orders_returned_exists,
+        "order_rollup": q_order_rollup,
+        "quantity_percentiles": q_quantity_percentiles,
         "doc_sha256": q_doc_sha256,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -846,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "media_features": q_media_features,
         "cdc_replay": q_cdc_replay,
+        "debezium_parse": q_debezium_parse,
     }
 
 
@@ -860,6 +1133,11 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_audit": SQL_EVENTS_GAP_AUDIT,
         "events_minutely": SQL_EVENTS_MINUTELY,
         "events_windowed": SQL_EVENTS_WINDOWED,
+        "events_sessions": SQL_EVENTS_SESSIONS,
+        "events_props_json": SQL_EVENTS_PROPS_JSON,
+        "orders_returned_exists": SQL_ORDERS_RETURNED_EXISTS,
+        "order_rollup": SQL_ORDER_ROLLUP,
+        "quantity_percentiles": SQL_QUANTITY_PERCENTILES,
         "doc_sha256": SQL_DOC_SHA256,
         "doc_tokens": SQL_DOC_TOKENS,
         "doc_quality": SQL_DOC_QUALITY,
@@ -876,7 +1154,10 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": SQL_LSH_ANN,
         "ivf_ann": SQL_IVF_ANN,
         "cdc_replay": _sql_cdc_replay_with_fixture(),
-        # doc_manifest / lang_id / media_features: engine-specific
-        # (kernel manifests, heuristic lang-id, binary decode
-        # plumbing) — rows-only by design
+        "debezium_parse": _sql_debezium_parse(),
+        "lang_id": _sql_lang_id(),
+        "media_features": _sql_media_features(),
+        # doc_manifest: kernel-specific (CDC chunk manifests) —
+        # rows-only by design; its tiling invariant is oracle-checked
+        # through manifest_tiling and its bytes through cdc_replay
     }

@@ -1,0 +1,206 @@
+"""Wire-format envelope parsers: Debezium / Maxwell JSON -> EVENT_SCHEMA.
+
+Real binlog/WAL tails arrive as JSON envelopes on a message bus, not as
+typed parquet. These parsers normalize the two most common envelope
+dialects into this engine's ``EVENT_SCHEMA`` rows so the rest of the
+pipeline (``normalize_events`` -> ``apply_batch``) is wire-agnostic,
+mirroring how the reference's event model is keyed by (repo, path, seq)
+with I/U/D ops (see /root/reference/src/chunker/package.d:444-481 for
+the replay semantics the downstream engine must preserve).
+
+Scale notes: parsing is a single JVM-side ``from_json`` projection — no
+Python, no shuffle, fully pipelined into the scan; a malformed-record
+side channel (``_corrupt`` rows) is split out with a cheap filter on
+the same pass, so one scan serves both the clean stream and the DLQ.
+
+Debezium envelope (unwrapped payload):
+    {"op": "c|u|d|r", "ts_ms": 123,
+     "before": {...row...} | null, "after": {...row...} | null,
+     "source": {"ts_ms": ..., "lsn"/"pos": <offset>, ...}}
+
+Maxwell envelope:
+    {"type": "insert|update|delete", "ts": <epoch-s>,
+     "position": "<binlog pos>", "data": {...row...}}
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# The row images are parsed as map<string,string>: CDC row payloads are
+# schema-evolving by nature (that is the point of this engine), so the
+# envelope layer must not bake a row schema in. Typed casting happens
+# in normalize_events against the declared schema_ver.
+_DEBEZIUM_SCHEMA = StructType(
+    [
+        StructField("op", StringType(), True),
+        StructField("ts_ms", LongType(), True),
+        StructField("before", MapType(StringType(), StringType()), True),
+        StructField("after", MapType(StringType(), StringType()), True),
+        StructField("source", MapType(StringType(), StringType()), True),
+    ]
+)
+
+_MAXWELL_SCHEMA = StructType(
+    [
+        StructField("type", StringType(), True),
+        StructField("ts", LongType(), True),
+        StructField("position", StringType(), True),
+        StructField("data", MapType(StringType(), StringType()), True),
+    ]
+)
+
+#: Debezium op codes -> engine ops ('r' = snapshot read = upsert)
+_DEBEZIUM_OPS = {"c": "I", "u": "U", "d": "D", "r": "I"}
+_MAXWELL_OPS = {"insert": "I", "update": "U", "delete": "D"}
+
+
+def _op_expr(col, mapping: dict[str, str]):
+    expr = F.lit(None).cast("string")
+    for wire, op in reversed(mapping.items()):
+        expr = F.when(col == wire, F.lit(op)).otherwise(expr)
+    return expr
+
+
+def _row_field(img, name: str):
+    return F.element_at(img, name)
+
+
+def _project_event(parsed: DataFrame, op, seq, ts, img, extra=()) -> DataFrame:
+    """Common projection from a parsed envelope to EVENT_SCHEMA order."""
+    return parsed.select(
+        seq.cast("long").alias("seq"),
+        ts.alias("ts"),
+        op.alias("op"),
+        _row_field(img, "repo").alias("repo"),
+        _row_field(img, "path").alias("path"),
+        _row_field(img, "commit").alias("commit"),
+        _row_field(img, "lang").alias("lang"),
+        _row_field(img, "language").alias("language"),
+        _row_field(img, "branch").alias("branch"),
+        _row_field(img, "content").alias("content"),
+        F.coalesce(_row_field(img, "schema_ver").cast("int"), F.lit(1)).alias("schema_ver"),
+        *extra,
+    )
+
+
+def parse_debezium(raw: DataFrame, value_col: str = "value", keep_raw: bool = False) -> DataFrame:
+    """Debezium JSON envelope column -> EVENT_SCHEMA rows.
+
+    ``seq`` is taken from ``source.lsn`` (falling back to ``source.pos``)
+    — the log offset is the total order the LWW resolution keys on.
+    Delete events carry their row image in ``before``; everything else
+    in ``after``. ``keep_raw`` appends the original payload as ``_raw``
+    (for the DLQ split).
+    """
+    parsed = raw.withColumn("_env", F.from_json(F.col(value_col), _DEBEZIUM_SCHEMA))
+    env = F.col("_env")
+    op = _op_expr(env["op"], _DEBEZIUM_OPS)
+    img = F.when(env["op"] == "d", env["before"]).otherwise(env["after"])
+    seq = F.coalesce(
+        F.element_at(env["source"], "lsn").cast("long"),
+        F.element_at(env["source"], "pos").cast("long"),
+    )
+    ts = F.timestamp_millis(env["ts_ms"])
+    extra = (F.col(value_col).alias("_raw"),) if keep_raw else ()
+    return _project_event(parsed, op, seq, ts, img, extra)
+
+
+def parse_maxwell(raw: DataFrame, value_col: str = "value", keep_raw: bool = False) -> DataFrame:
+    """Maxwell JSON envelope column -> EVENT_SCHEMA rows."""
+    parsed = raw.withColumn("_env", F.from_json(F.col(value_col), _MAXWELL_SCHEMA))
+    env = F.col("_env")
+    op = _op_expr(env["type"], _MAXWELL_OPS)
+    img = env["data"]
+    seq = F.regexp_extract(env["position"], r"(\d+)$", 1).cast("long")
+    ts = F.timestamp_seconds(env["ts"])
+    extra = (F.col(value_col).alias("_raw"),) if keep_raw else ()
+    return _project_event(parsed, op, seq, ts, img, extra)
+
+
+def debezium_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:
+    """Write the deterministic Debezium-envelope fixture (parquet, one
+    ``value`` JSON string column) once and return its path. 82 events
+    over 30 (repo,path) keys: 30 creates, 2 snapshot reads, 30 updates,
+    10 deletes re-creating half, plus 2 malformed payloads (bad JSON /
+    missing offset) that the DLQ split must divert. pyarrow-written so
+    oracle_sql() needs no SparkSession."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{base}/debezium_v1.parquet"
+    if os.path.exists(path):
+        return path
+
+    def env(op, lsn, key, ver, ts_ms):
+        row = {
+            "repo": f"repo-{key % 5}",
+            "path": f"src/f{key}.py",
+            "commit": f"c{lsn:05d}",
+            "lang": "python",
+            "content": f"def f{key}(): return {lsn}\n" * (1 + key % 4),
+            "schema_ver": str(ver),
+        }
+        body = {
+            "op": op,
+            "ts_ms": ts_ms,
+            "before": row if op == "d" else None,
+            "after": None if op == "d" else row,
+            "source": {"lsn": str(lsn), "db": "repos"},
+        }
+        return json.dumps(body, sort_keys=True)
+
+    values = []
+    lsn = 0
+    for k in range(30):  # initial creates
+        lsn += 1
+        values.append(env("c", lsn, k, 1, 1700000000000 + lsn * 1000))
+    for k in (3, 7):  # snapshot reads (op 'r' == upsert)
+        lsn += 1
+        values.append(env("r", lsn, k, 1, 1700000000000 + lsn * 1000))
+    for k in range(30):  # updates touch every key
+        lsn += 1
+        values.append(env("u", lsn, k, 1, 1700000000000 + lsn * 1000))
+    for k in range(0, 20, 2):  # deletes
+        lsn += 1
+        values.append(env("d", lsn, k, 1, 1700000000000 + lsn * 1000))
+    for k in range(0, 20, 4):  # half the deleted keys come back
+        lsn += 1
+        values.append(env("c", lsn, k, 1, 1700000000000 + lsn * 1000))
+    # malformed: undecodable payload + an envelope with no offset
+    values.append("{not json at all")
+    values.append(json.dumps({"op": "u", "ts_ms": 1, "after": {"repo": "x"}, "source": {}}))
+
+    table = pa.table({"value": pa.array(values, pa.string())})
+    os.makedirs(base, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def split_malformed(raw: DataFrame, parser=parse_debezium, value_col: str = "value"):
+    """(clean, dlq) split in one scan: rows whose envelope failed to
+    parse (null op or null seq — key/offset-less events cannot be
+    ordered or applied) go to the dead-letter side with their original
+    payload, ready for replay after a producer fix."""
+    parsed = parser(raw, value_col=value_col, keep_raw=True)
+    bad_mask = (
+        F.col("op").isNull()
+        | F.col("seq").isNull()
+        | F.col("repo").isNull()
+        | F.col("path").isNull()
+    )
+    clean = parsed.where(~bad_mask).drop("_raw")
+    dlq = parsed.where(bad_mask).select(F.col("_raw").alias(value_col))
+    return clean, dlq

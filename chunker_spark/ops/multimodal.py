@@ -109,6 +109,47 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def media_fixture_path(n: int = 48, seed: int = 5, base: str = "/tmp/chunker_spark_fixtures") -> str:
+    """Write the deterministic media fixture as parquet once and return
+    its path. Stored flat (no meta struct) with a generation-time
+    ``payload_sha256`` column: the oracle reads that column back while
+    the Spark query *recomputes* the digest through the mapInPandas
+    decode path — the comparison pins the binary round-trip
+    parquet -> Spark binary column -> Arrow batch -> pandas bytes.
+    Written with pyarrow directly so oracle_sql() can materialize it
+    without a SparkSession."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{base}/media_v1_n{n}_s{seed}.parquet"
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    ids, kind_col, payloads, digests = [], [], [], []
+    for i in range(n):
+        payload = rng.integers(0, 256, size=int(rng.integers(64, 4096)), dtype=np.uint8).tobytes()
+        ids.append(i)
+        kind_col.append(kinds[i % 3])
+        payloads.append(payload)
+        digests.append(hashlib.sha256(payload).hexdigest())
+    table = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kind_col, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "payload_sha256": pa.array(digests, pa.string()),
+        }
+    )
+    os.makedirs(base, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)  # atomic: concurrent writers converge
+    return path
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
     """Deterministic media fixture (binary payloads of varied size)."""
     rng = np.random.default_rng(seed)

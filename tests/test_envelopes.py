@@ -1,0 +1,164 @@
+"""Wire-envelope parsers (Debezium/Maxwell) and sessionization.
+
+Reference anchoring: the parsed stream must land in EVENT_SCHEMA with
+the same (repo, path, seq, op) key semantics the replay engine resolves
+(/root/reference/src/chunker/package.d:444-481 is the replay contract
+the downstream LWW preserves); these tests pin the envelope -> event
+mapping itself.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+def _dbz(op, lsn, repo="r1", path="a.py", content="x = 1\n", ts_ms=1700000000000, **extra):
+    row = {"repo": repo, "path": path, "commit": f"c{lsn}", "lang": "python",
+           "content": content, **extra}
+    return json.dumps({
+        "op": op,
+        "ts_ms": ts_ms,
+        "before": row if op == "d" else None,
+        "after": None if op == "d" else row,
+        "source": {"lsn": str(lsn), "db": "repos"},
+    })
+
+
+def test_debezium_ops_and_images(spark):
+    from chunker_spark.cdc.envelopes import parse_debezium
+
+    raw = spark.createDataFrame(
+        [
+            (_dbz("c", 1),),
+            (_dbz("u", 2, content="x = 2\n"),),
+            (_dbz("r", 3, path="b.py"),),  # snapshot read == upsert
+            (_dbz("d", 4),),  # delete: image comes from `before`
+        ],
+        "value string",
+    )
+    ev = parse_debezium(raw).orderBy("seq").collect()
+    assert [e.op for e in ev] == ["I", "U", "I", "D"]
+    assert [e.seq for e in ev] == [1, 2, 3, 4]
+    assert ev[3].repo == "r1" and ev[3].path == "a.py"  # delete keyed by before-image
+    assert ev[1].content == "x = 2\n"
+    assert all(e.schema_ver == 1 for e in ev)  # default when absent
+    assert ev[0].ts == datetime.datetime(2023, 11, 14, 22, 13, 20)
+
+
+def test_debezium_schema_ver_and_evolved_columns(spark):
+    from chunker_spark.cdc.envelopes import parse_debezium
+
+    raw = spark.createDataFrame(
+        [(_dbz("c", 9, schema_ver="2", branch="dev"),)], "value string"
+    )
+    e = parse_debezium(raw).first()
+    assert e.schema_ver == 2 and e.branch == "dev"
+
+
+def test_maxwell_parse(spark):
+    from chunker_spark.cdc.envelopes import parse_maxwell
+
+    raw = spark.createDataFrame(
+        [
+            (json.dumps({"type": "insert", "ts": 1700000000,
+                         "position": "binlog.000003:4521",
+                         "data": {"repo": "r", "path": "p", "content": "c"}}),),
+            (json.dumps({"type": "delete", "ts": 1700000001,
+                         "position": "binlog.000003:4600",
+                         "data": {"repo": "r", "path": "p"}}),),
+        ],
+        "value string",
+    )
+    ev = parse_maxwell(raw).orderBy("seq").collect()
+    assert [(e.op, e.seq) for e in ev] == [("I", 4521), ("D", 4600)]
+    assert ev[0].content == "c" and ev[1].content is None
+
+
+def test_split_malformed_diverts_and_preserves_payload(spark):
+    from chunker_spark.cdc.envelopes import split_malformed
+
+    bad_json = "{definitely not json"
+    no_seq = json.dumps({"op": "u", "ts_ms": 1, "after": {"repo": "x", "path": "p"},
+                         "source": {}})
+    raw = spark.createDataFrame([(_dbz("c", 1),), (bad_json,), (no_seq,)], "value string")
+    clean, dlq = split_malformed(raw)
+    assert clean.count() == 1 and clean.first().seq == 1
+    dlq_vals = {r.value for r in dlq.collect()}
+    assert dlq_vals == {bad_json, no_seq}  # original payloads, replayable
+
+
+def test_envelope_stream_feeds_apply_batch(spark, tmp_path):
+    """End-to-end: envelopes -> parse -> exactly-once MERGE -> LWW state."""
+    from chunker_spark.cdc import LakeTable, apply_batch
+    from chunker_spark.cdc.envelopes import parse_debezium
+    from chunker_spark.kernel import ChunkerParams
+
+    raw = spark.createDataFrame(
+        [
+            (_dbz("c", 1, path="a.py", content="v1\n"),),
+            (_dbz("u", 2, path="a.py", content="v2\n"),),
+            (_dbz("c", 3, path="b.py", content="keep\n"),),
+            (_dbz("d", 4, path="b.py"),),
+        ],
+        "value string",
+    )
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    params = ChunkerParams(average_bits=6, min_size=64, max_size=256)
+    apply_batch(lake, parse_debezium(raw), "b0", params=params, collect_metrics=False)
+    state = {r.path: r.content for r in lake.read().collect()}
+    assert state == {"a.py": "v2\n"}
+
+
+def test_fixture_is_deterministic_and_parseable(spark):
+    from chunker_spark.cdc.envelopes import debezium_fixture_path, split_malformed
+
+    p1, p2 = debezium_fixture_path(), debezium_fixture_path()
+    assert p1 == p2
+    raw = spark.read.parquet(p1)
+    clean, dlq = split_malformed(raw)
+    assert dlq.count() == 2  # exactly the two planted malformed rows
+    n = clean.count()
+    assert raw.count() == n + 2
+
+
+# ---- sessionization ---------------------------------------------------
+
+
+def _ts(minute, second=0):
+    return datetime.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_sessionize_gap_boundary(spark):
+    """Gap == gap_s stays in-session; gap_s + 1us starts a new one."""
+    from chunker_spark.ops.sessions import sessionize
+
+    rows = [
+        Row(user_id=1, ts=_ts(0)),
+        Row(user_id=1, ts=_ts(30)),  # exactly 1800s later: same session
+        Row(user_id=1, ts=_ts(30) + datetime.timedelta(minutes=30, microseconds=1)),
+        Row(user_id=2, ts=_ts(5)),  # other key: independent numbering
+    ]
+    out = sessionize(spark.createDataFrame(rows), gap_s=1800).collect()
+    by_user = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.ts)):
+        by_user.setdefault(r.user_id, []).append(r.session_seq)
+    assert by_user[1] == [0, 0, 1]
+    assert by_user[2] == [0]
+
+
+def test_session_stats_single_exchange(spark):
+    """The whole sessionize+rollup plan shuffles exactly once — the
+    window partitionBy on the key; groupBy reuses that partitioning."""
+    from chunker_spark.ops.sessions import session_stats
+
+    rows = [Row(user_id=i % 3, ts=_ts(i), value=float(i)) for i in range(12)]
+    df = session_stats(spark.createDataFrame(rows), gap_s=120, value_col="value")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    got = {(r.user_id, r.session_seq): r.n_events for r in df.collect()}
+    # users 0,1,2 see events every 3 min > 120s gap -> every event its own session
+    assert got[(0, 0)] == 1 and got[(0, 1)] == 1
