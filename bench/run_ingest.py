@@ -28,7 +28,10 @@ import sys
 import tempfile
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+try:  # spark-submit --py-files chunker_spark.zip puts the package on path
+    import chunker_spark  # noqa: F401
+except ImportError:  # repo-checkout fallback for plain `python bench/run_ingest.py`
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from pyspark.sql import SparkSession
 
