@@ -31,7 +31,7 @@ from ..functions.manifest import with_manifest
 from ..kernel.chunker import ChunkerParams
 from .events import SOURCE_PARAMS
 from .lake import LakeTable, bucket_expr
-from .schema import KEY_COLS, TABLE_SCHEMA, normalize_events
+from .schema import KEY_COLS, LATEST_SCHEMA_VER, TABLE_SCHEMA, normalize_events
 
 #: updates-side row-count threshold below which the LWW winners set is
 #: broadcast (micro-batches are usually far smaller than table state).
@@ -192,6 +192,44 @@ def apply_batch(
     finally:
         if collect_metrics:
             batch.unpersist()
+
+
+def bootstrap_snapshot(
+    lake,
+    snapshot: DataFrame,
+    batch_id: str = "bootstrap-0",
+    base_seq: int = 0,
+    snapshot_ts: str = "1970-01-01 00:00:00",
+    params: ChunkerParams = SOURCE_PARAMS,
+    **apply_kwargs,
+) -> dict | None:
+    """Initial-load bootstrap: apply a full table snapshot before the
+    incremental tail starts (the standard CDC snapshot-then-stream
+    handoff). ``snapshot`` carries the canonical table columns
+    (repo, path, commit, language, branch, content); every row becomes
+    an insert at ``base_seq``, which must sort BELOW the first binlog
+    offset the stream will deliver — so if the snapshot races the tail
+    (a key is both snapshotted and updated before the stream starts),
+    last-writer-wins resolves in favor of the stream event with no
+    special casing. ``seq`` only needs to be unique per key within a
+    batch, and a snapshot has one row per key by construction. The
+    batch_id ledger makes a re-run of the bootstrap a no-op, exactly
+    like any other batch.
+    """
+    events = snapshot.select(
+        F.lit(int(base_seq)).cast("long").alias("seq"),
+        F.lit(snapshot_ts).cast("timestamp").alias("ts"),
+        F.lit("I").alias("op"),
+        F.col("repo"),
+        F.col("path"),
+        F.col("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.col("language"),
+        F.col("branch"),
+        F.col("content"),
+        F.lit(LATEST_SCHEMA_VER).cast("int").alias("schema_ver"),
+    )
+    return apply_batch(lake, events, batch_id, params=params, **apply_kwargs)
 
 
 def _batch_stats(upserts: DataFrame, deletes: DataFrame, old: DataFrame) -> dict:

@@ -67,6 +67,7 @@ class IngestStream:
         dedup_watermark: str | None = None,  # e.g. "10 minutes"
         expire_every: int | None = None,  # run commit expiry every N commits
         expire_keep_last: int = 8,  # retained time-travel window
+        wire_format: str | None = None,  # None (typed parquet) | 'debezium' | 'maxwell'
     ) -> None:
         self.spark = spark
         self.lake = lake
@@ -87,11 +88,35 @@ class IngestStream:
         # full batch-id ledger (it rides the latest commit)
         self.expire_every = expire_every
         self.expire_keep_last = expire_keep_last
+        if wire_format not in (None, "debezium", "maxwell"):
+            raise ValueError(f"unknown wire_format {wire_format!r}")
+        if wire_format and dedup_watermark:
+            # the raw wire stream has no ts/seq until the per-batch
+            # parse, so watermark dedup can't run pre-parse; duplicate
+            # *batches* are still no-ops via the commit ledger
+            raise ValueError("dedup_watermark requires the typed-parquet source")
+        self.wire_format = wire_format
         self.batches_seen = 0
 
     def _handle_batch(self, df, batch_id: int) -> None:
+        if self.wire_format:
+            # envelope batch: parse + DLQ-split inside the micro-batch
+            # so malformed payloads are persisted next to the lake.
+            # Gate the DLQ append on the commit like the metrics append:
+            # a re-delivered batch is a lake no-op, so re-appending its
+            # DLQ rows would double them.
+            from .envelopes import parse_debezium, parse_maxwell, split_malformed
+
+            parser = parse_debezium if self.wire_format == "debezium" else parse_maxwell
+            df, dlq = split_malformed(df, parser=parser)
+            dlq = dlq.localCheckpoint(eager=True)  # split once; reuse for count+write
+            n_bad = dlq.count()
+        else:
+            dlq, n_bad = None, 0
         commit = apply_batch(self.lake, df, batch_id, params=self.params)
         if commit is not None:
+            if n_bad:
+                dlq.coalesce(1).write.mode("append").parquet(f"{self.lake.root}/dlq")
             _append_metrics(self.lake, commit, batch_id)
             if self.expire_every and (commit["commit_seq"] + 1) % self.expire_every == 0:
                 self.lake.expire_commits(keep_last=self.expire_keep_last)
@@ -106,12 +131,22 @@ class IngestStream:
         """Process everything currently in the log, then stop
         (Trigger.AvailableNow — respects max_files_per_trigger)."""
         os.makedirs(self.checkpoint_dir, exist_ok=True)
-        reader = self.spark.readStream.schema(EVENT_SCHEMA)
+        if self.wire_format:
+            # raw bus dump: JSON-lines text files, one envelope per line
+            # (the shape a Kafka-connect file sink / log shipper writes);
+            # parsing happens per micro-batch in _handle_batch so the
+            # DLQ split shares the batch scan
+            reader = self.spark.readStream
+        else:
+            reader = self.spark.readStream.schema(EVENT_SCHEMA)
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
         if self.max_bytes_per_trigger:
             reader = reader.option("maxBytesPerTrigger", int(self.max_bytes_per_trigger))
-        stream = reader.parquet(self.events_dir)
+        if self.wire_format:
+            stream = reader.text(self.events_dir)
+        else:
+            stream = reader.parquet(self.events_dir)
         if self.dedup_watermark:
             # event-time dedup for at-least-once upstream producers:
             # duplicate seq values within the watermark are dropped.

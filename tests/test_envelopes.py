@@ -125,6 +125,91 @@ def test_fixture_is_deterministic_and_parseable(spark):
     assert raw.count() == n + 2
 
 
+def test_streaming_wire_ingest_with_dlq(spark, tmp_path):
+    """JSON-lines envelope files → readStream.text → per-batch parse +
+    DLQ split → exactly-once MERGE: clean rows land in the lake, the
+    two malformed payloads land in <lake>/dlq, and a second run over
+    the same checkpoint is a complete no-op (no new commits, no DLQ
+    growth)."""
+    from chunker_spark.cdc import LakeTable
+    from chunker_spark.cdc.streaming import IngestStream
+    from chunker_spark.kernel import ChunkerParams
+
+    log_dir = tmp_path / "wire-log"
+    log_dir.mkdir()
+    lines = [
+        _dbz("c", 1, path="a.py", content="v1\n"),
+        _dbz("u", 2, path="a.py", content="v2\n"),
+        "{broken payload",
+    ]
+    (log_dir / "seg-0.jsonl").write_text("\n".join(lines) + "\n")
+    (log_dir / "seg-1.jsonl").write_text(
+        "\n".join(
+            [
+                _dbz("c", 3, path="b.py", content="w1\n"),
+                _dbz("d", 4, path="a.py"),
+                json.dumps({"op": "u", "ts_ms": 1, "after": {"repo": "x"}, "source": {}}),
+            ]
+        )
+        + "\n"
+    )
+
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    params = ChunkerParams(average_bits=6, min_size=64, max_size=256)
+
+    def run():
+        IngestStream(
+            spark,
+            lake,
+            str(log_dir),
+            str(tmp_path / "ckpt"),
+            params=params,
+            wire_format="debezium",
+        ).run_available()
+
+    run()
+    state = {r.path: r.content for r in lake.read().collect()}
+    assert state == {"b.py": "w1\n"}  # a.py deleted at seq 4
+    dlq = spark.read.parquet(f"{lake.root}/dlq")
+    assert dlq.count() == 2
+
+    n_commits = len(lake.committed_batch_ids())
+    run()  # resume over the same checkpoint: nothing new to deliver
+    assert len(lake.committed_batch_ids()) == n_commits
+    assert spark.read.parquet(f"{lake.root}/dlq").count() == 2
+
+
+def test_bootstrap_snapshot_then_stream(spark, tmp_path):
+    """Snapshot-then-stream handoff: the bootstrap loads the initial
+    state at base_seq 0; overlapping tail events (same key, higher seq)
+    win LWW with no special casing; re-running the bootstrap is a
+    ledger no-op."""
+    from chunker_spark.cdc import LakeTable, apply_batch
+    from chunker_spark.cdc.merge import bootstrap_snapshot
+    from chunker_spark.kernel import ChunkerParams
+
+    params = ChunkerParams(average_bits=6, min_size=64, max_size=256)
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    snap = spark.createDataFrame(
+        [
+            ("r1", "a.py", "c0", "python", "main", "snap-a\n"),
+            ("r1", "b.py", "c0", "python", "main", "snap-b\n"),
+        ],
+        "repo string, path string, commit string, language string, branch string, content string",
+    )
+    c1 = bootstrap_snapshot(lake, snap, params=params, collect_metrics=False)
+    assert c1 is not None
+    assert bootstrap_snapshot(lake, snap, params=params, collect_metrics=False) is None
+
+    # tail: update a.py at seq 10 (wins over the seq-0 snapshot row)
+    from chunker_spark.cdc.envelopes import parse_debezium
+
+    raw = spark.createDataFrame([(_dbz("u", 10, path="a.py", content="tail-a\n"),)], "value string")
+    apply_batch(lake, parse_debezium(raw), "tail-1", params=params, collect_metrics=False)
+    state = {r.path: (r.content, r.branch) for r in lake.read().collect()}
+    assert state == {"a.py": ("tail-a\n", "main"), "b.py": ("snap-b\n", "main")}
+
+
 # ---- sessionization ---------------------------------------------------
 
 
