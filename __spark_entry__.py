@@ -874,6 +874,62 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_changes(spark, sf):
+    """Change-data-feed read between two commits (incremental
+    consumption): replay the 300-event fixture as two batches, then ask
+    the lake what net-changed between commit 0 and commit 1. The oracle
+    recomputes both resolved states in SQL and diffs them — inserts,
+    post-image updates, deletes (null payload), untouched keys absent."""
+    import tempfile
+
+    from chunker_spark.cdc import LakeTable, apply_batch
+    from chunker_spark.kernel import ChunkerParams
+
+    _ensure_replay_fixture()
+    events = spark.read.parquet(_REPLAY_FIXTURE_DIR)
+    lake = LakeTable(spark, tempfile.mkdtemp(prefix="q-cdf-"), num_buckets=4)
+    params = ChunkerParams(average_bits=9, min_size=256, max_size=4096)
+    apply_batch(lake, events.where(F.col("seq") < 150), "c0", params=params, collect_metrics=False)
+    apply_batch(lake, events.where(F.col("seq") >= 150), "c1", params=params, collect_metrics=False)
+    return lake.changes(since=0).select(
+        "repo", "path", "seq", "content_sha256", "_change_type"
+    )
+
+
+def _sql_cdc_changes() -> str:
+    _ensure_replay_fixture()
+    return f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FIXTURE_DIR}/segment-00000.parquet')),
+norm AS (
+  SELECT seq, op, repo, path, content FROM ev
+),
+a AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM norm WHERE seq < 150
+),
+b AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM norm
+),
+sa AS (SELECT repo, path, seq, op, content FROM a WHERE rn = 1),
+sb AS (SELECT repo, path, seq, op, content FROM b WHERE rn = 1),
+d AS (
+  SELECT sb.repo, sb.path, sb.seq, sb.op AS new_op, sb.content,
+         CASE
+           WHEN sa.seq IS NULL AND sb.op <> 'D' THEN 'insert'
+           WHEN sa.op <> 'D' AND sb.op = 'D' THEN 'delete'
+           WHEN sa.op <> 'D' AND sb.op <> 'D' AND sb.seq > sa.seq THEN 'update_postimage'
+           WHEN sa.op = 'D' AND sb.op <> 'D' THEN 'insert'
+         END AS change_type
+  FROM sb LEFT JOIN sa USING (repo, path)
+)
+SELECT repo, path, seq,
+       CASE WHEN change_type = 'delete' THEN NULL ELSE sha256(content) END AS content_sha256,
+       change_type AS "_change_type"
+FROM d WHERE change_type IS NOT NULL
+"""
+
+
 def q_events_sessions(spark, sf):
     """Gap-based sessionization (30-min idle cutoff) + per-session
     rollup through ops.sessions: one shuffle (the key window),
@@ -1118,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "media_features": q_media_features,
         "cdc_replay": q_cdc_replay,
+        "cdc_changes": q_cdc_changes,
         "debezium_parse": q_debezium_parse,
     }
 
@@ -1154,6 +1211,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": SQL_LSH_ANN,
         "ivf_ann": SQL_IVF_ANN,
         "cdc_replay": _sql_cdc_replay_with_fixture(),
+        "cdc_changes": _sql_cdc_changes(),
         "debezium_parse": _sql_debezium_parse(),
         "lang_id": _sql_lang_id(),
         "media_features": _sql_media_features(),

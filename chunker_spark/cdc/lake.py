@@ -164,6 +164,56 @@ class LakeTable:
             *[F.col(f.name) for f in TABLE_SCHEMA.fields]
         )
 
+    def changes(self, since: int, until: int | None = None) -> DataFrame:
+        """Change-data-feed read: net row-level changes between commit
+        ``since`` (exclusive) and ``until`` (inclusive; None = current)
+        — the Iceberg/Delta incremental-consumption surface, so a
+        downstream pipeline can re-process only what moved.
+
+        Computed on RESOLVED states, not raw deltas, so the answer is
+        identical before and after compaction/expiry of the interval's
+        files. Scale shape: the full-outer diff joins only
+        (key, seq, deleted) — fixed-width rows — and the content
+        payload is joined back for the changed keys alone; unchanged
+        data never shuffles. ``_change_type`` is insert /
+        update_postimage / delete; delete rows carry the key with null
+        payload.
+        """
+        new_res = resolve_state(self.read_files(at=until), drop_tombstones=False)
+        old_res = resolve_state(self.read_files(at=since), drop_tombstones=False)
+        slim = lambda df, tag: df.select(
+            *KEY_COLS, F.col("seq").alias(f"{tag}_seq"), F.col("deleted").alias(f"{tag}_del")
+        )
+        j = slim(new_res, "new").join(slim(old_res, "old"), list(KEY_COLS), "full_outer")
+        old_live = F.col("old_del") == False  # noqa: E712 — tri-state null logic
+        new_live = F.col("new_del") == False  # noqa: E712
+        change = (
+            F.when(F.col("old_seq").isNull() & new_live, "insert")
+            .when(old_live & F.col("new_del"), "delete")
+            .when(old_live & new_live & (F.col("new_seq") > F.col("old_seq")), "update_postimage")
+            .when(F.col("old_del") & new_live, "insert")  # re-created key
+            .when(F.col("new_seq").isNull() & old_live, "delete")  # aged out entirely
+        )
+        changed = j.withColumn("_change_type", change).where(F.col("_change_type").isNotNull())
+        visible = changed.where(F.col("_change_type") != "delete").select(
+            *KEY_COLS, "_change_type"
+        )
+        payload_cols = [f.name for f in TABLE_SCHEMA.fields]
+        upserts = new_res.join(visible, list(KEY_COLS), "inner").select(
+            *payload_cols, F.col("seq"), F.col("_change_type")
+        )
+        deletes = changed.where(F.col("_change_type") == "delete").select(
+            *KEY_COLS,
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in TABLE_SCHEMA.fields
+                if f.name not in KEY_COLS
+            ],
+            F.coalesce(F.col("new_seq"), F.col("old_seq")).alias("seq"),
+            F.col("_change_type"),
+        )
+        return upserts.unionByName(deletes)
+
     # ---- writes ----------------------------------------------------
 
     def _write_snap(self, rows: DataFrame, n_parts: int, seq: int, tag: str) -> dict[str, list[str]]:

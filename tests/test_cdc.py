@@ -243,6 +243,46 @@ def test_time_travel_read(spark, tmp_path):
     assert now == exp and now != at0
 
 
+def test_changes_cdf_between_commits(spark, tmp_path):
+    """changes(since, until) — the change-data-feed read — emits exactly
+    the net per-key difference between two resolved snapshots, checked
+    against the replay oracle's two states: inserts for new keys,
+    update_postimage for advanced keys, deletes for tombstoned keys,
+    nothing for untouched keys."""
+    events = list(gen_events_local(SPEC, 300))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4)
+    apply_batch(lake, _events_df(spark, events[:150]), "c0", params=PARAMS)
+    apply_batch(lake, _events_df(spark, events[150:300]), "c1", params=PARAMS)
+
+    feed = {
+        (r["repo"], r["path"]): (r["_change_type"], r["content_sha256"])
+        for r in lake.changes(since=0).collect()
+    }
+
+    old = {(r["repo"], r["path"]): r["content_sha256"] for r in state_rows(replay(events[:150]))}
+    new = {(r["repo"], r["path"]): r["content_sha256"] for r in state_rows(replay(events))}
+    expected = {}
+    for k, sha in new.items():
+        if k not in old:
+            expected[k] = ("insert", sha)
+        elif old[k] != sha:
+            expected[k] = ("update_postimage", sha)
+    for k in old.keys() - new.keys():
+        expected[k] = ("delete", None)
+
+    # keys updated to identical content (same sha) still advance seq and
+    # legitimately appear as update_postimage; ignore those rows
+    feed_cmp = {
+        k: v
+        for k, v in feed.items()
+        if not (v[0] == "update_postimage" and k in old and old.get(k) == v[1] and k not in expected)
+    }
+    assert feed_cmp == expected
+    # a CDF read over an empty interval is empty
+    top = lake.current_commit()["commit_seq"]
+    assert lake.changes(since=top, until=top).count() == 0
+
+
 def test_expire_commits_bounds_storage_and_keeps_state(spark, tmp_path):
     """expire_commits garbage-collects unreferenced data files and old
     commit JSONs; the current state, time travel within the retained
