@@ -219,9 +219,13 @@ class LakeTable:
     def _write_snap(self, rows: DataFrame, n_parts: int, seq: int, tag: str) -> dict[str, list[str]]:
         snap_dir = f"{self.root}/data/snap-{seq:012d}-{tag}"
         out = rows.withColumn("__bucket", bucket_expr(self.num_buckets))
-        out.repartition(max(n_parts, 1), "__bucket").write.partitionBy("__bucket").mode(
-            "overwrite"
-        ).parquet(snap_dir)
+        # cluster rows by key within each file: repeated repo/path values
+        # RLE-compress, and the resolve groupBy's map-side combine sees
+        # each key's duplicates adjacent — costs a per-partition sort at
+        # write (no extra shuffle), pays on every subsequent read
+        out.repartition(max(n_parts, 1), "__bucket").sortWithinPartitions(
+            "repo", "path", "seq"
+        ).write.partitionBy("__bucket").mode("overwrite").parquet(snap_dir)
         files: dict[str, list[str]] = {}
         for d in os.listdir(snap_dir):
             if d.startswith("__bucket="):

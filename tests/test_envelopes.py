@@ -210,6 +210,65 @@ def test_bootstrap_snapshot_then_stream(spark, tmp_path):
     assert state == {"a.py": ("tail-a\n", "main"), "b.py": ("snap-b\n", "main")}
 
 
+def test_debezium_roundtrip_fuzz(spark):
+    """Property: any event rendered as a Debezium envelope parses back
+    field-for-field — arbitrary unicode in repo/path/content (quotes,
+    newlines, non-BMP), every op code, large offsets. One Spark action
+    over the whole generated corpus (per-example Spark calls would be
+    prohibitively slow)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from chunker_spark.cdc.envelopes import parse_debezium
+
+    text = st.text(min_size=0, max_size=40)
+    drawn = []
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["c", "u", "d", "r"]),
+                st.integers(min_value=0, max_value=2**62),
+                text,
+                text,
+                st.one_of(st.none(), text),
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: t[1],
+        )
+    )
+    def collect(batch):
+        drawn.append(batch)
+
+    collect()
+    # dedupe by lsn across batches (unique_by only holds within one)
+    corpus = list({ev[1]: ev for batch in drawn for ev in batch}.values())
+    rows = []
+    expected = {}
+    for op, lsn, repo, path, content in corpus:
+        img = {"repo": repo, "path": path, "content": content}
+        rows.append(
+            json.dumps(
+                {
+                    "op": op,
+                    "ts_ms": lsn % (2**40),
+                    "before": img if op == "d" else None,
+                    "after": None if op == "d" else img,
+                    "source": {"lsn": str(lsn)},
+                },
+                ensure_ascii=False,
+            )
+        )
+        expected[lsn] = ({"c": "I", "r": "I", "u": "U", "d": "D"}[op], repo, path, content)
+    raw = spark.createDataFrame([(r,) for r in rows], "value string")
+    got = {
+        r.seq: (r.op, r.repo, r.path, r.content)
+        for r in parse_debezium(raw).collect()
+    }
+    assert got == expected
+
+
 # ---- sessionization ---------------------------------------------------
 
 

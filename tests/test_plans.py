@@ -169,3 +169,74 @@ def test_salted_repartition_spreads_monorepo_keys(spark):
     nonempty = [s for s in sizes if s]
     assert len(nonempty) >= parts // 2  # most partitions carry work
     assert max(sizes) <= 3 * (2000 / parts)  # no hot partition
+
+
+def test_semi_join_pushes_returnflag_filter(spark):
+    """orders_returned_exists: the l_returnflag predicate reaches the
+    lineitem scan, and only l_orderkey survives the projection — the
+    join shuffles 8-byte keys, never lineitem payload."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_orders_returned_exists(spark, SF))
+    assert "EqualTo(l_returnflag,R)" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l and "l_orderkey" in l][0]
+    assert "l_extendedprice" not in read_schema and "l_quantity" not in read_schema
+    assert "LeftSemi" in plan
+
+
+def test_debezium_parse_single_scan_no_python(spark):
+    """Envelope parsing is one JVM-side projection: no Python workers
+    (no BatchEvalPython / ArrowEvalPython), and the clean/DLQ split
+    plans as filters over the same from_json scan."""
+    import json as _json
+
+    from chunker_spark.cdc.envelopes import split_malformed
+
+    raw = spark.createDataFrame(
+        [(_json.dumps({"op": "c", "ts_ms": 1, "after": {"repo": "r", "path": "p"},
+                       "source": {"lsn": "1"}}),)],
+        "value string",
+    )
+    clean, dlq = split_malformed(raw)
+    for df in (clean, dlq):
+        plan = _plan(df, "simple")
+        assert "EvalPython" not in plan  # no row-at-a-time or Arrow Python
+        assert "from_json" in plan or "Project" in plan
+
+
+def test_sessionize_single_exchange_on_real_table(spark):
+    """events_sessions over the real events table: exactly one Exchange
+    (the key window); lag/flag/cumsum/groupBy all reuse it."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_events_sessions(spark, SF), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_rollup_is_single_expand_pass(spark):
+    """order_rollup: one Expand node, no union of per-level rescans."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_order_rollup(spark, SF), "simple")
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_cdf_payload_joined_back_only_for_changed_keys(spark, tmp_path):
+    """changes() must not shuffle content in the state-diff join: the
+    full-outer diff carries only key/seq/deleted columns."""
+    import pandas as pd
+
+    from chunker_spark.cdc import EVENT_SCHEMA, GenSpec, LakeTable, apply_batch, gen_events_local
+    from chunker_spark.kernel import ChunkerParams
+
+    params = ChunkerParams(average_bits=9, min_size=256, max_size=4096)
+    events = list(gen_events_local(GenSpec(seed=7, n_keys=20, mean_blocks=2), 80))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    pdf = pd.DataFrame(events)[[f.name for f in EVENT_SCHEMA.fields]]
+    apply_batch(lake, spark.createDataFrame(pdf[:40], EVENT_SCHEMA), "b0", params=params)
+    apply_batch(lake, spark.createDataFrame(pdf[40:], EVENT_SCHEMA), "b1", params=params)
+    plan = _plan(lake.changes(since=0))
+    # the FullOuter join itself must not reference the content column
+    join_lines = [l for l in plan.splitlines() if "FullOuter" in l]
+    assert join_lines and all("content" not in l for l in join_lines)
