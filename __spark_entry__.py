@@ -874,6 +874,52 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_doc_split(spark, sf):
+    """Deterministic train/eval split by content hash (anti-leakage:
+    identical content always lands on the same side, reproducible with
+    no seed or state). 75/25 at 1/256 granularity; fully JVM-side."""
+    from chunker_spark.ops.curation import content_hash_split
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return content_hash_split(d, train_frac=0.75).select("doc_id", "split")
+
+
+SQL_DOC_SPLIT = """
+SELECT doc_id,
+       CASE WHEN substr(sha256(text), 1, 2) < 'c0' THEN 'train' ELSE 'eval' END AS split
+FROM documents
+"""
+
+
+def q_embedding_quantize(spark, sf):
+    """Symmetric int8 quantization of the embedding column. The oracle
+    pins the mechanical contract: scale = max|x|/127 (max over floats is
+    exact — no summation-order hazard), the quantized max-magnitude
+    component is exactly ±127 for any nonzero vector, and the width is
+    preserved."""
+    from chunker_spark.ops.similarity import quantize_embeddings
+
+    v = _t(spark, sf, "embeddings")
+    q = quantize_embeddings(v)
+    q_absmax = F.array_max(F.transform("qvec", lambda x: F.abs(x.cast("int"))))
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        q_absmax.alias("q_absmax"),
+        F.size("qvec").alias("q_len"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+SELECT vec_id,
+       round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 6) AS scale_r,
+       CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+            THEN 0 ELSE 127 END AS q_absmax,
+       CAST(len(embedding) AS INTEGER) AS q_len
+FROM embeddings
+"""
+
+
 def q_cdc_changes(spark, sf):
     """Change-data-feed read between two commits (incremental
     consumption): replay the 300-event fixture as two batches, then ask
@@ -1159,7 +1205,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_split": q_doc_split,
         "dedup_exact": q_dedup_exact,
+        "embedding_quantize": q_embedding_quantize,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "ann_topk": q_ann_topk,
@@ -1199,7 +1247,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": SQL_DOC_TOKENS,
         "doc_quality": SQL_DOC_QUALITY,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "doc_split": SQL_DOC_SPLIT,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
         "embedding_dedup": SQL_EMBEDDING_DEDUP,
         "embedding_dedup_lsh": SQL_EMBEDDING_DEDUP_LSH,
         "ann_topk": SQL_ANN_TOPK,

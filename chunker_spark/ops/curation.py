@@ -1,0 +1,51 @@
+"""Training-data curation ops: deterministic splits and sampling.
+
+Random sampling is the wrong tool for corpus curation at 100 TB: it is
+not reproducible across runs, not stable under re-partitioning, and a
+re-ingested duplicate document can land in a different split than its
+twin (train/eval leakage). Content-hash assignment fixes all three: the
+split is a pure function of the document bytes, so identical content
+always lands on the same side, any engine recomputes the same split,
+and no state or seed has to be carried around.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def content_hash_split(
+    df: DataFrame,
+    text_col: str = "text",
+    train_frac: float = 0.75,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign 'train' / 'eval' by the first byte of sha256(content).
+
+    ``train_frac`` quantizes to 1/256 granularity (the first hex byte).
+    Fully JVM-side (sha2 + string compare), embarrassingly parallel, no
+    shuffle. The same content string is ALWAYS assigned the same split —
+    the anti-leakage property random sampling lacks.
+    """
+    if not (0.0 <= train_frac <= 1.0):
+        raise ValueError(f"train_frac must be in [0,1], got {train_frac}")
+    threshold = format(min(int(train_frac * 256), 255), "02x")
+    first_byte = F.substring(F.sha2(F.col(text_col), 256), 1, 2)
+    return df.withColumn(
+        split_col,
+        F.when(first_byte < F.lit(threshold), "train").otherwise("eval"),
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    text_col: str = "text",
+    frac: float = 0.1,
+) -> DataFrame:
+    """Deterministic ~``frac`` sample by content hash (same mechanism as
+    the split: stable, reproducible, dedup-consistent). Quantizes to
+    1/65536 granularity (first two hex bytes)."""
+    if not (0.0 <= frac <= 1.0):
+        raise ValueError(f"frac must be in [0,1], got {frac}")
+    threshold = format(min(int(frac * 65536), 65535), "04x")
+    return df.where(F.substring(F.sha2(F.col(text_col), 256), 1, 4) < F.lit(threshold))

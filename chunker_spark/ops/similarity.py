@@ -283,3 +283,32 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def quantize_embeddings(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q = round(x / scale). The standard 4x footprint cut for
+    billion-vector ANN serving (dot products run in int arithmetic;
+    dequantization error is bounded by scale/2 per component).
+
+    Fully JVM-side array expressions — no Python, no shuffle; at 100 TB
+    this is a map-only pass that re-writes the embedding column.
+    Zero vectors quantize to zeros with scale 0.
+    """
+    absmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    scale = (absmax / F.lit(127.0)).alias("scale")
+    q = F.when(absmax == 0.0, F.transform(F.col(vec_col), lambda x: F.lit(0).cast("tinyint"))).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") / (absmax / F.lit(127.0)), 0).cast("tinyint"),
+        )
+    )
+    return vectors.select(
+        F.col(id_col),
+        q.alias("qvec"),
+        (absmax / F.lit(127.0)).cast("double").alias("scale"),
+    )

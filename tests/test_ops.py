@@ -261,3 +261,57 @@ def test_ngram_jaccard_prefix_join_is_exact(spark):
         for r in ngram_jaccard_pairs(df, n=3, threshold=t).collect()
     }
     assert got == truth
+
+
+def test_content_hash_split_stable_and_leakage_free(spark):
+    """Identical content always gets the same split (the anti-leakage
+    property), the assignment is reproducible run-to-run, and the
+    train fraction lands near the target on a few hundred docs."""
+    from chunker_spark.ops.curation import content_hash_split
+
+    rows = [(i, f"document body number {i % 200}") for i in range(400)]  # every text duplicated
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out1 = {(r.doc_id, r.split) for r in content_hash_split(df, train_frac=0.75).collect()}
+    out2 = {(r.doc_id, r.split) for r in content_hash_split(df, train_frac=0.75).collect()}
+    assert out1 == out2  # reproducible, no seed/state
+    by_text = {}
+    for r in content_hash_split(df, train_frac=0.75).collect():
+        by_text.setdefault(r.doc_id % 200, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_text.values())  # duplicates co-assigned
+    train = sum(1 for _, s in out1 if s == "train")
+    assert 0.6 < train / 400 < 0.9
+
+
+def test_hash_sample_is_subset_and_deterministic(spark):
+    from chunker_spark.ops.curation import hash_sample
+
+    rows = [(i, f"text {i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s1 = {r.doc_id for r in hash_sample(df, frac=0.2).collect()}
+    s2 = {r.doc_id for r in hash_sample(df, frac=0.2).collect()}
+    assert s1 == s2 and 0.1 < len(s1) / 1000 < 0.3
+    bigger = {r.doc_id for r in hash_sample(df, frac=0.5).collect()}
+    assert s1 <= bigger  # thresholds nest: a sample is a prefix of a bigger one
+
+
+def test_quantize_embeddings_error_bound(spark):
+    """Dequantized vectors differ from the originals by at most scale/2
+    per component, and the max-magnitude component hits exactly +/-127."""
+    import numpy as np
+
+    from chunker_spark.ops.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(50)]
+    vecs.append((99, [0.0] * 16))  # zero vector edge
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r.vec_id: (list(r.qvec), r.scale) for r in quantize_embeddings(df).collect()}
+    for vid, vec in vecs:
+        q, scale = got[vid]
+        f32 = np.asarray(vec, dtype=np.float32).astype(np.float64)
+        if vid == 99:
+            assert scale == 0.0 and all(x == 0 for x in q)
+            continue
+        assert max(abs(x) for x in q) == 127
+        err = np.abs(np.asarray(q, dtype=np.float64) * scale - f32)
+        assert float(err.max()) <= scale / 2 + 1e-12
