@@ -53,6 +53,7 @@ _MAXWELL_SCHEMA = StructType(
         StructField("type", StringType(), True),
         StructField("ts", LongType(), True),
         StructField("position", StringType(), True),
+        StructField("table", StringType(), True),
         StructField("data", MapType(StringType(), StringType()), True),
     ]
 )
@@ -109,7 +110,9 @@ def parse_debezium(raw: DataFrame, value_col: str = "value", keep_raw: bool = Fa
         F.element_at(env["source"], "pos").cast("long"),
     )
     ts = F.timestamp_millis(env["ts_ms"])
-    extra = (F.col(value_col).alias("_raw"),) if keep_raw else ()
+    extra = [F.element_at(env["source"], "table").alias("src_table")]
+    if keep_raw:
+        extra.append(F.col(value_col).alias("_raw"))
     return _project_event(parsed, op, seq, ts, img, extra)
 
 
@@ -121,7 +124,9 @@ def parse_maxwell(raw: DataFrame, value_col: str = "value", keep_raw: bool = Fal
     img = env["data"]
     seq = F.regexp_extract(env["position"], r"(\d+)$", 1).cast("long")
     ts = F.timestamp_seconds(env["ts"])
-    extra = (F.col(value_col).alias("_raw"),) if keep_raw else ()
+    extra = [env["table"].alias("src_table")]
+    if keep_raw:
+        extra.append(F.col(value_col).alias("_raw"))
     return _project_event(parsed, op, seq, ts, img, extra)
 
 

@@ -1,0 +1,59 @@
+"""Multi-table routing: one CDC stream fanning out to per-table lakes.
+
+A real binlog/WAL tail carries every table of the source database in
+one totally-ordered stream; the envelope parsers surface the table name
+as ``src_table``. ``route_batch`` applies one micro-batch to each
+destination lake with a composite ``(batch_id, table)`` idempotency
+key, so exactly-once holds independently per table: a crash after
+table A committed but before table B did leads to a re-delivery where
+A no-ops and B applies — the standard per-destination ledger pattern.
+
+Scale shape: the batch is evaluated once per destination with a
+partition-prunable equality filter; destinations is a small static set
+(tables in the source DB), so the driver-side loop is O(tables), never
+O(rows). Rows with an unrouted table name are returned (not dropped) —
+the caller decides whether that is a DLQ case or a config bug.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..kernel.chunker import ChunkerParams
+from .events import SOURCE_PARAMS
+from .lake import LakeTable
+from .merge import apply_batch
+
+
+def route_batch(
+    lakes: dict[str, LakeTable],
+    events: DataFrame,
+    batch_id: str | int,
+    table_col: str = "src_table",
+    params: ChunkerParams = SOURCE_PARAMS,
+    **apply_kwargs,
+) -> tuple[dict[str, dict | None], DataFrame]:
+    """Apply one parsed micro-batch to every routed lake.
+
+    Returns ``(commits, unrouted)``: per-table commit dicts (None where
+    the (batch, table) pair was a no-op — already committed, or no rows
+    for that table in this batch), and the DataFrame of rows whose
+    ``table_col`` matched no destination.
+    """
+    commits: dict[str, dict | None] = {}
+    for name, lake in lakes.items():
+        part = events.where(F.col(table_col) == name).drop(table_col)
+        # skip empty slices: across 10^4 batches x T tables, committing
+        # empties would bloat every untouched table's commit history
+        # (isEmpty scans at most one pruned partition; idempotency is
+        # unaffected — a redelivered empty slice re-skips)
+        if part.isEmpty():
+            commits[name] = None
+            continue
+        commits[name] = apply_batch(
+            lake, part, f"{batch_id}:{name}", params=params, **apply_kwargs
+        )
+    unrouted = events.where(
+        F.col(table_col).isNull() | ~F.col(table_col).isin(list(lakes))
+    )
+    return commits, unrouted

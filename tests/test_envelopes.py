@@ -306,3 +306,52 @@ def test_session_stats_single_exchange(spark):
     got = {(r.user_id, r.session_seq): r.n_events for r in df.collect()}
     # users 0,1,2 see events every 3 min > 120s gap -> every event its own session
     assert got[(0, 0)] == 1 and got[(0, 1)] == 1
+
+
+def test_multi_table_routing_exactly_once(spark, tmp_path):
+    """One envelope stream carrying two tables fans out to two lakes:
+    per-table exactly-once (redelivery no-ops), unrouted rows surfaced,
+    and each lake sees only its own keys."""
+    from chunker_spark.cdc import LakeTable
+    from chunker_spark.cdc.envelopes import parse_debezium
+    from chunker_spark.cdc.router import route_batch
+    from chunker_spark.kernel import ChunkerParams
+
+    def dbz(op, lsn, table, path, content=None):
+        row = {"repo": "r", "path": path, "commit": f"c{lsn}",
+               "lang": "python", "content": content}
+        return json.dumps({
+            "op": op, "ts_ms": 1700000000000 + lsn,
+            "before": row if op == "d" else None,
+            "after": None if op == "d" else row,
+            "source": {"lsn": str(lsn), "table": table},
+        })
+
+    raw = spark.createDataFrame(
+        [
+            (dbz("c", 1, "files", "a.py", "fa\n"),),
+            (dbz("c", 2, "docs", "d.md", "dd\n"),),
+            (dbz("u", 3, "files", "a.py", "fa2\n"),),
+            (dbz("c", 4, "mystery", "m.txt", "mm\n"),),  # unrouted table
+        ],
+        "value string",
+    )
+    events = parse_debezium(raw)
+    params = ChunkerParams(average_bits=6, min_size=64, max_size=256)
+    lakes = {
+        "files": LakeTable(spark, str(tmp_path / "files"), num_buckets=2),
+        "docs": LakeTable(spark, str(tmp_path / "docs"), num_buckets=2),
+    }
+    commits, unrouted = route_batch(
+        lakes, events, "b0", params=params, collect_metrics=False
+    )
+    assert commits["files"] is not None and commits["docs"] is not None
+    assert {r.path for r in unrouted.collect()} == {"m.txt"}
+    assert {r.path: r.content for r in lakes["files"].read().collect()} == {"a.py": "fa2\n"}
+    assert {r.path: r.content for r in lakes["docs"].read().collect()} == {"d.md": "dd\n"}
+
+    # redelivery: both tables no-op; empty slice for a new table no-ops
+    lakes["other"] = LakeTable(spark, str(tmp_path / "other"), num_buckets=2)
+    commits2, _ = route_batch(lakes, events, "b0", params=params, collect_metrics=False)
+    assert commits2 == {"files": None, "docs": None, "other": None}
+    assert lakes["files"].current_commit()["commit_seq"] == 0  # no new commit
