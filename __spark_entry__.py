@@ -11,9 +11,12 @@
                 the engine-specific ops (chunk-store conservation,
                 planted-duplicate MinHash/ngram/LSH-embedding
                 completeness, SimHash order/case invariance, ANN
-                self-nearest rank-1, full CDC-replay final state).
-                Only kernel manifests, heuristic lang-id and binary
-                media plumbing stay rows-only (25 of 28 checked).
+                self-nearest rank-1, full CDC-replay final state and
+                change-feed diff, the lang-id heuristic restated in
+                SQL, media digests pinned to generation-time values).
+                Only the kernel chunk manifests stay rows-only — their
+                invariants are checked through ``manifest_tiling`` and
+                ``cdc_replay`` (36 of 37 checked).
 
 Numeric parity policy: aggregates compute in exact DECIMAL on both
 sides, then cast to double and round — distributed double summation is
