@@ -33,7 +33,11 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "48g")
+        # sized like a production executor, not the whole host: sf0.1
+        # fits in ~2g, and oversized lazy heaps are actively harmful on
+        # this sandbox — the hypervisor faults fresh multi-GB mappings
+        # at ~0.03 GB/s (measured), so every heap expansion stalls
+        .config("spark.driver.memory", "12g")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )

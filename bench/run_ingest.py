@@ -55,7 +55,10 @@ def build_spark(parallelism: int, local_dir: str = "") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(parallelism, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "48g")
+        # executor-sized heap (see bench.py): large lazy heaps stall on
+        # this host's slow fresh-page faulting; the ingest working set
+        # per batch is bounded by maxBytesPerTrigger-scale volumes anyway
+        .config("spark.driver.memory", "12g")
     )
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
