@@ -45,6 +45,36 @@ def bucket_expr(num_buckets: int, key_cols=KEY_COLS) -> F.Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets))
 
 
+def _file_key_ranges(paths: list[str]) -> dict[str, list[str | None]]:
+    """Per-file COMPOSITE key range [first_repo, first_path, last_repo,
+    last_path]. Files are written sorted by (repo, path, seq), so the
+    first and last rows ARE the lexicographic key bounds — unlike
+    independent per-column min/max, the composite range stays tight
+    when one file spans many repos (the common case with few repos and
+    hash bucketing). Reads only the key columns of the first and last
+    row groups, driver-side, O(new files) per commit. A file that can't
+    be read maps to Nones (never pruned)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, list[str | None]] = {}
+    for p in paths:
+        try:
+            pf = pq.ParquetFile(p)
+            if pf.metadata.num_rows == 0:
+                raise ValueError("empty file")
+            first_t = pf.read_row_group(0, columns=["repo", "path"])
+            last_t = pf.read_row_group(pf.metadata.num_row_groups - 1, columns=["repo", "path"])
+            out[p] = [
+                first_t.column("repo")[0].as_py(),
+                first_t.column("path")[0].as_py(),
+                last_t.column("repo")[last_t.num_rows - 1].as_py(),
+                last_t.column("path")[last_t.num_rows - 1].as_py(),
+            ]
+        except Exception:
+            out[p] = [None, None, None, None]
+    return out
+
+
 def resolve_state(files_df: DataFrame, drop_tombstones: bool = True) -> DataFrame:
     """Merge-on-read resolution: last writer (max seq) per key, then
     drop tombstones. One hash aggregate; map-side combine bounds the
@@ -147,11 +177,31 @@ class LakeTable:
         keys = [str(b) for b in buckets] if buckets is not None else list(fmap)
         return [p for k in keys for p in fmap.get(k, [])]
 
-    def read_files(self, buckets: list[int] | None = None, at: int | None = None) -> DataFrame:
+    def read_files(
+        self,
+        buckets: list[int] | None = None,
+        at: int | None = None,
+        key: tuple[str, str] | None = None,
+    ) -> DataFrame:
         """Raw delta/base rows (with seq + deleted), unresolved.
-        ``at`` selects a historical commit (time travel)."""
+        ``at`` selects a historical commit (time travel). ``key`` is a
+        (repo, path) point-lookup hint: files whose composite
+        first/last-row key range excludes the key are skipped entirely
+        (data skipping on the key-sorted files; files without recorded
+        ranges are always read)."""
         commit = self.commit_at(at) if at is not None else self.current_commit()
         paths = self._files_for(commit, buckets)
+        if key is not None and commit:
+            fstats = commit.get("file_stats", {})
+            key_t = (key[0], key[1])
+
+            def may_contain(p: str) -> bool:
+                s = fstats.get(p)
+                if not s or any(v is None for v in s):
+                    return True  # no stats -> can't prune
+                return (s[0], s[1]) <= key_t <= (s[2], s[3])
+
+            paths = [p for p in paths if may_contain(p)]
         if not paths:
             return self.spark.createDataFrame([], FILE_SCHEMA)
         return self.spark.read.schema(FILE_SCHEMA).parquet(*paths)
@@ -162,6 +212,18 @@ class LakeTable:
         optionally restricted to buckets (bucket pruning)."""
         return resolve_state(self.read_files(buckets, at=at)).select(
             *[F.col(f.name) for f in TABLE_SCHEMA.fields]
+        )
+
+    def lookup(self, repo: str, path: str, at: int | None = None) -> DataFrame:
+        """Point lookup of one key with file-level data skipping: only
+        files whose (repo, path) footer range can contain the key are
+        opened — on a well-compacted table that is one file per lookup
+        instead of the bucket's whole history."""
+        pruned = self.read_files(at=at, key=(repo, path))
+        return (
+            resolve_state(pruned)
+            .where((F.col("repo") == repo) & (F.col("path") == path))
+            .select(*[F.col(f.name) for f in TABLE_SCHEMA.fields])
         )
 
     def changes(self, since: int, until: int | None = None) -> DataFrame:
@@ -220,11 +282,14 @@ class LakeTable:
         snap_dir = f"{self.root}/data/snap-{seq:012d}-{tag}"
         out = rows.withColumn("__bucket", bucket_expr(self.num_buckets))
         # cluster rows by key within each file: repeated repo/path values
-        # RLE-compress, and the resolve groupBy's map-side combine sees
-        # each key's duplicates adjacent — costs a per-partition sort at
-        # write (no extra shuffle), pays on every subsequent read
+        # RLE-compress, the resolve groupBy's map-side combine sees each
+        # key's duplicates adjacent, and the composite first/last-row
+        # range (file_stats) is a tight pruning bound. __bucket leads
+        # the sort so it already satisfies partitionBy's required
+        # ordering — otherwise the writer inserts its own (unstable)
+        # sort by __bucket and destroys the key order
         out.repartition(max(n_parts, 1), "__bucket").sortWithinPartitions(
-            "repo", "path", "seq"
+            "__bucket", "repo", "path", "seq"
         ).write.partitionBy("__bucket").mode("overwrite").parquet(snap_dir)
         files: dict[str, list[str]] = {}
         for d in os.listdir(snap_dir):
@@ -281,6 +346,16 @@ class LakeTable:
             for b in over:
                 files[str(b)] = compacted.get(str(b), [])
 
+        # per-file (repo, path) footer ranges for read-time data
+        # skipping: stats for the just-written files come from their
+        # parquet footers (driver-side, O(new files)); surviving files
+        # keep their previously recorded ranges
+        prev_stats = dict(prev.get("file_stats", {})) if prev else {}
+        live_paths = {p for fl in files.values() for p in fl}
+        fresh = live_paths - set(prev_stats)
+        file_stats = {p: s for p, s in prev_stats.items() if p in live_paths}
+        file_stats.update(_file_key_ranges(sorted(fresh)))
+
         prev_ids = set(prev.get("batch_ids", [])) if prev else set()
         if prev and "batch_ids" not in prev:  # pre-ledger log: rebuild once
             prev_ids = self.committed_batch_ids()
@@ -294,6 +369,7 @@ class LakeTable:
             "touched_buckets": sorted(int(b) for b in touched_buckets),
             "compacted_buckets": sorted(over),
             "files": files,
+            "file_stats": file_stats,
             "stats": stats or {},
         }
         self._write_commit(commit)
@@ -338,3 +414,30 @@ class LakeTable:
             "removed_files": removed_files,
             "kept_commits": len(keep),
         }
+
+    def vacuum_orphans(self) -> dict:
+        """Remove snapshot directories referenced by NO commit — the
+        debris of a writer that crashed after ``_write_snap`` but before
+        ``_write_commit`` (expire_commits won't touch these: it only
+        deletes parquet unreferenced by *retained* commits, and leaves
+        the _SUCCESS/crc debris behind). Single-writer maintenance op:
+        must not run concurrently with an in-flight append, whose
+        not-yet-committed snap dir would look orphaned."""
+        import shutil
+
+        referenced_dirs: set[str] = set()
+        for name in self._commit_files():
+            with open(f"{self.root}/meta/{name}") as f:
+                for fl in json.load(f)["files"].values():
+                    referenced_dirs.update(os.path.dirname(p) for p in fl)
+        data_root = f"{self.root}/data"
+        removed = []
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                full = f"{data_root}/{d}"
+                if not os.path.isdir(full) or not d.startswith("snap-"):
+                    continue
+                if not any(ref.startswith(full + "/") for ref in referenced_dirs):
+                    shutil.rmtree(full)
+                    removed.append(d)
+        return {"removed_dirs": removed}

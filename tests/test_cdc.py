@@ -353,3 +353,72 @@ def test_tombstone_horizon_ages_out_dead_deletes(spark, tmp_path):
     lake2 = LakeTable(spark, str(tmp_path / "lake2"), num_buckets=1, compact_threshold=3)
     tombs2 = run(lake2)
     assert tombs2.where(F.col("seq") < horizon).count() == 10  # all early deletes kept
+
+
+def test_point_lookup_prunes_files_by_footer_stats(spark, tmp_path):
+    """lookup(repo, path) opens only files whose footer (repo, path)
+    range can contain the key — and returns exactly what a full-scan
+    filter returns."""
+    events = list(gen_events_local(SPEC, 300))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4)
+    apply_batch(lake, _events_df(spark, events[:150]), "p0", params=PARAMS)
+    apply_batch(lake, _events_df(spark, events[150:300]), "p1", params=PARAMS)
+
+    commit = lake.current_commit()
+    assert commit["file_stats"], "composite key ranges must be recorded"
+    all_paths = [p for fl in commit["files"].values() for p in fl]
+    # every live file has usable stats (files are written key-sorted)
+    assert all(
+        all(v is not None for v in commit["file_stats"][p]) for p in all_paths
+    )
+    # the ordering contract the ranges depend on: rows within each data
+    # file ARE sorted by (repo, path) — partitionBy must not clobber the
+    # clustering sort (it inserts its own unstable __bucket sort unless
+    # __bucket already leads the ordering)
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(all_paths[0]).read(columns=["repo", "path"])
+    keys = list(zip(t.column("repo").to_pylist(), t.column("path").to_pylist()))
+    assert keys == sorted(keys)
+
+    full = lake.read()
+    target = full.select("repo", "path").orderBy("repo", "path").first()
+    got = lake.lookup(target.repo, target.path).collect()
+    exp = full.where(
+        (full.repo == target.repo) & (full.path == target.path)
+    ).collect()
+    assert len(got) == 1
+    assert got[0].content_sha256 == exp[0].content_sha256
+
+    # the pruned file set is a strict subset for a point key
+    pruned = lake.read_files(key=(target.repo, target.path))
+    n_pruned_files = len(pruned.inputFiles())
+    assert 0 < n_pruned_files < len(all_paths)
+    # a key outside every range reads zero files
+    assert lake.lookup("zzz-no-such-repo", "nope").count() == 0
+
+
+def test_vacuum_orphans_removes_crash_debris_only(spark, tmp_path):
+    import os
+
+    events = list(gen_events_local(SPEC, 100))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4)
+    apply_batch(lake, _events_df(spark, events), "v0", params=PARAMS)
+    before = {(r["repo"], r["path"], r["content_sha256"]) for r in
+              lake.read().select("repo", "path", "content_sha256").collect()}
+
+    # simulate a crashed writer: snap dir written, commit never recorded
+    orphan = f"{lake.root}/data/snap-000000000099-delta"
+    os.makedirs(f"{orphan}/__bucket=0")
+    with open(f"{orphan}/__bucket=0/part-orphan.parquet", "w") as f:
+        f.write("junk")
+    with open(f"{orphan}/_SUCCESS", "w") as f:
+        f.write("")
+
+    out = lake.vacuum_orphans()
+    assert out["removed_dirs"] == ["snap-000000000099-delta"]
+    assert not os.path.exists(orphan)
+    after = {(r["repo"], r["path"], r["content_sha256"]) for r in
+             lake.read().select("repo", "path", "content_sha256").collect()}
+    assert after == before  # committed data untouched
+    assert lake.vacuum_orphans()["removed_dirs"] == []  # idempotent
