@@ -16,7 +16,7 @@
                 SQL, media digests pinned to generation-time values).
                 Only the kernel chunk manifests stay rows-only — their
                 invariants are checked through ``manifest_tiling`` and
-                ``cdc_replay`` (36 of 37 checked).
+                ``cdc_replay`` (37 of 38 checked).
 
 Numeric parity policy: aggregates compute in exact DECIMAL on both
 sides, then cast to double and round — distributed double summation is
@@ -923,6 +923,51 @@ FROM embeddings
 """
 
 
+def q_dedup_clusters(spark, sf):
+    """Distributed connected components turning duplicate PAIRS into
+    dedup CLUSTERS (the decision a curation pipeline acts on). Edges
+    are exact-duplicate star pairs (rep -> member per fingerprint
+    group); the iterative min-label CC must label every member of every
+    >1 group with the group minimum — which the oracle computes directly
+    with a window function over the normalized text."""
+    from chunker_spark.ops.graph import dedup_clusters
+
+    base = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = base.select((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text")
+    d = base.unionByName(planted)  # every doc gains an exact duplicate
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    fp = d.select("doc_id", F.sha2(norm.cast("binary"), 256).alias("fp"))
+    w = Window.partitionBy("fp")
+    g = fp.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("rep"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).where(F.col("n") > 1)
+    edges = g.where(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    return dedup_clusters(edges)
+
+
+SQL_DEDUP_CLUSTERS = rf"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET} AS doc_id, text FROM documents
+),
+fp AS (
+  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS k FROM docs
+),
+g AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY k) AS rep_id,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM fp
+)
+SELECT doc_id, rep_id FROM g WHERE n > 1
+"""
+
+
 def q_cdc_changes(spark, sf):
     """Change-data-feed read between two commits (incremental
     consumption): replay the 300-event fixture as two batches, then ask
@@ -1210,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_split": q_doc_split,
         "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_quantize": q_embedding_quantize,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
@@ -1252,6 +1298,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "doc_split": SQL_DOC_SPLIT,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
         "embedding_dedup": SQL_EMBEDDING_DEDUP,
         "embedding_dedup_lsh": SQL_EMBEDDING_DEDUP_LSH,

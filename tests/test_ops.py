@@ -315,3 +315,75 @@ def test_quantize_embeddings_error_bound(spark):
         assert max(abs(x) for x in q) == 127
         err = np.abs(np.asarray(q, dtype=np.float64) * scale - f32)
         assert float(err.max()) <= scale / 2 + 1e-12
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in range(n_nodes) if any(x in e for e in edges)}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Random sparse graph: distributed CC must agree exactly with a
+    single-threaded union-find, including min-id representative choice."""
+    import random
+
+    from chunker_spark.ops.graph import connected_components
+
+    rng = random.Random(7)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    truth = {}
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    touched = set()
+    for a, b in edges:
+        touched.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {x: find(x) for x in touched}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == truth
+
+
+def test_connected_components_chain_converges(spark):
+    """A 40-node path graph (worst diameter case at this size) still
+    converges inside max_iter and labels everything with node 0."""
+    from chunker_spark.ops.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df, max_iter=50).collect()}
+    assert set(got.values()) == {0} and len(got) == 41
+
+
+def test_dedup_clusters_groups_exact_duplicates(spark):
+    """Pairs from exact-duplicate groups cluster back into exactly
+    those groups with the min doc_id as representative."""
+    from chunker_spark.ops.graph import dedup_clusters
+
+    # groups: {1,5,9}, {2,7}, singleton 3 (no pairs -> absent)
+    pairs = [(1, 5), (5, 9), (2, 7)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.doc_id: r.rep_id for r in dedup_clusters(df).collect()}
+    assert got == {1: 1, 5: 1, 9: 1, 2: 2, 7: 2}
