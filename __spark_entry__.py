@@ -1233,6 +1233,66 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_maxwell_parse(spark, sf):
+    """Maxwell wire-format ingestion across a binlog ROTATION: JSON
+    envelopes → EVENT_SCHEMA with seq packed as file_ordinal*2^40+offset
+    (offsets reset on rotation; raw offsets would LWW-resolve to stale
+    file-7 rows) → malformed rows diverted to the DLQ in the same scan →
+    last-writer-wins final state. The oracle restates parse + packing +
+    LWW + tombstone drop from the same fixture with DuckDB JSON/regex
+    functions — a wrong packing makes the file-7 updates win and every
+    content hash mismatch."""
+    from chunker_spark.cdc.envelopes import (
+        maxwell_fixture_path,
+        parse_maxwell,
+        split_malformed,
+    )
+
+    raw = spark.read.parquet(maxwell_fixture_path())
+    clean, _dlq = split_malformed(raw, parser=parse_maxwell)
+    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
+    return (
+        clean.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("repo", "path", "commit", "seq", F.sha2("content", 256).alias("content_sha256"))
+    )
+
+
+def _sql_maxwell_parse() -> str:
+    from chunker_spark.cdc.envelopes import maxwell_fixture_path
+
+    path = maxwell_fixture_path()  # ensure the fixture exists for DuckDB
+    shift = 1 << 40  # BINLOG_PACK_SHIFT packing base
+    return f"""
+WITH raw AS (SELECT value FROM read_parquet('{path}')),
+parsed AS (
+  SELECT COALESCE(TRY_CAST(regexp_extract(
+             regexp_extract(json_extract_string(value, '$.position'), '^(.*?):\\d+$', 1),
+             '(\\d+)\\s*$', 1) AS BIGINT), 0) * {shift}
+         + TRY_CAST(regexp_extract(json_extract_string(value, '$.position'),
+                                   '(\\d+)$', 1) AS BIGINT) AS seq,
+         CASE json_extract_string(value, '$.type')
+           WHEN 'insert' THEN 'I' WHEN 'update' THEN 'U'
+           WHEN 'delete' THEN 'D' END AS op,
+         json_extract_string(value, '$.data.repo') AS repo,
+         json_extract_string(value, '$.data.path') AS path,
+         json_extract_string(value, '$.data.commit') AS commit,
+         json_extract_string(value, '$.data.content') AS content
+  FROM raw WHERE json_valid(value)
+),
+clean AS (
+  SELECT * FROM parsed
+  WHERE op IS NOT NULL AND seq IS NOT NULL AND repo IS NOT NULL AND path IS NOT NULL
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM clean
+)
+SELECT repo, path, commit, seq, sha256(content) AS content_sha256
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1273,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay": q_cdc_replay,
         "cdc_changes": q_cdc_changes,
         "debezium_parse": q_debezium_parse,
+        "maxwell_parse": q_maxwell_parse,
     }
 
 
@@ -1313,6 +1374,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay": _sql_cdc_replay_with_fixture(),
         "cdc_changes": _sql_cdc_changes(),
         "debezium_parse": _sql_debezium_parse(),
+        "maxwell_parse": _sql_maxwell_parse(),
         "lang_id": _sql_lang_id(),
         "media_features": _sql_media_features(),
         # doc_manifest: kernel-specific (CDC chunk manifests) —

@@ -70,6 +70,37 @@ def _op_expr(col, mapping: dict[str, str]):
     return expr
 
 
+#: seq packing for MySQL binlog coordinates: seq = file_ordinal * 2^40 + offset.
+#: Binlog offsets RESET on log rotation, so the offset alone is
+#: non-monotonic across files and LWW would silently resolve to stale
+#: rows. 2^40 bytes (~1.1 TB) exceeds any real max_binlog_size (MySQL
+#: caps it at 1 GB), so offsets never overflow into the file bits, and
+#: file ordinals keep 23 high bits (~8M rotations) before sign trouble.
+BINLOG_PACK_SHIFT = 40
+
+
+def _packed_binlog_seq(file_col, offset_col):
+    """(binlog file name/ordinal, offset) -> one totally-ordered long.
+
+    ``file_col`` may be a full binlog file name ('mysql-bin.000123') —
+    the trailing digit run is the ordinal. Null/absent file packs as
+    ordinal 0 (single-file / non-rotating sources keep their raw
+    offset). Null offset stays null: an unordered event cannot be
+    LWW-resolved and must go to the DLQ.
+    """
+    # try_cast everywhere: a malformed coordinate is a DLQ row (null
+    # seq), never an ANSI cast error that kills the micro-batch
+    ordinal = F.coalesce(
+        F.regexp_extract(file_col.cast("string"), r"(\d+)\s*$", 1).try_cast("long"),
+        F.lit(0),
+    )
+    offset = offset_col.try_cast("long")
+    return F.when(
+        offset.isNotNull(),
+        F.shiftleft(ordinal, BINLOG_PACK_SHIFT) + offset,
+    )
+
+
 def _row_field(img, name: str):
     return F.element_at(img, name)
 
@@ -77,7 +108,7 @@ def _row_field(img, name: str):
 def _project_event(parsed: DataFrame, op, seq, ts, img, extra=()) -> DataFrame:
     """Common projection from a parsed envelope to EVENT_SCHEMA order."""
     return parsed.select(
-        seq.cast("long").alias("seq"),
+        seq.try_cast("long").alias("seq"),
         ts.alias("ts"),
         op.alias("op"),
         _row_field(img, "repo").alias("repo"),
@@ -95,19 +126,25 @@ def _project_event(parsed: DataFrame, op, seq, ts, img, extra=()) -> DataFrame:
 def parse_debezium(raw: DataFrame, value_col: str = "value", keep_raw: bool = False) -> DataFrame:
     """Debezium JSON envelope column -> EVENT_SCHEMA rows.
 
-    ``seq`` is taken from ``source.lsn`` (falling back to ``source.pos``)
-    — the log offset is the total order the LWW resolution keys on.
-    Delete events carry their row image in ``before``; everything else
-    in ``after``. ``keep_raw`` appends the original payload as ``_raw``
-    (for the DLQ split).
+    ``seq`` is taken from ``source.lsn`` (Postgres: already monotonic).
+    MySQL sources carry ``source.file`` + ``source.pos`` instead — the
+    offset resets on binlog rotation, so the fallback packs
+    ``file_ordinal * 2^40 + pos`` (see ``_packed_binlog_seq``) to keep
+    the total order the LWW resolution keys on. Delete events carry
+    their row image in ``before``; everything else in ``after``.
+    ``keep_raw`` appends the original payload as ``_raw`` (for the DLQ
+    split).
     """
     parsed = raw.withColumn("_env", F.from_json(F.col(value_col), _DEBEZIUM_SCHEMA))
     env = F.col("_env")
     op = _op_expr(env["op"], _DEBEZIUM_OPS)
     img = F.when(env["op"] == "d", env["before"]).otherwise(env["after"])
     seq = F.coalesce(
-        F.element_at(env["source"], "lsn").cast("long"),
-        F.element_at(env["source"], "pos").cast("long"),
+        F.element_at(env["source"], "lsn").try_cast("long"),
+        _packed_binlog_seq(
+            F.element_at(env["source"], "file"),
+            F.element_at(env["source"], "pos"),
+        ),
     )
     ts = F.timestamp_millis(env["ts_ms"])
     extra = [F.element_at(env["source"], "table").alias("src_table")]
@@ -117,12 +154,22 @@ def parse_debezium(raw: DataFrame, value_col: str = "value", keep_raw: bool = Fa
 
 
 def parse_maxwell(raw: DataFrame, value_col: str = "value", keep_raw: bool = False) -> DataFrame:
-    """Maxwell JSON envelope column -> EVENT_SCHEMA rows."""
+    """Maxwell JSON envelope column -> EVENT_SCHEMA rows.
+
+    ``position`` is a binlog coordinate string like
+    ``'mysql-bin.000123:4521'``; ``seq`` packs the file ordinal and the
+    offset (``ordinal * 2^40 + offset``) because offsets reset on log
+    rotation — see ``_packed_binlog_seq``. A bare-offset position (no
+    file part) packs as ordinal 0, i.e. the raw offset.
+    """
     parsed = raw.withColumn("_env", F.from_json(F.col(value_col), _MAXWELL_SCHEMA))
     env = F.col("_env")
     op = _op_expr(env["type"], _MAXWELL_OPS)
     img = env["data"]
-    seq = F.regexp_extract(env["position"], r"(\d+)$", 1).cast("long")
+    seq = _packed_binlog_seq(
+        F.regexp_extract(env["position"], r"^(.*?):\d+$", 1),
+        F.nullif(F.regexp_extract(env["position"], r"(\d+)$", 1), F.lit("")),
+    )
     ts = F.timestamp_seconds(env["ts"])
     extra = [env["table"].alias("src_table")]
     if keep_raw:
@@ -185,6 +232,78 @@ def debezium_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:
     # malformed: undecodable payload + an envelope with no offset
     values.append("{not json at all")
     values.append(json.dumps({"op": "u", "ts_ms": 1, "after": {"repo": "x"}, "source": {}}))
+
+    table = pa.table({"value": pa.array(values, pa.string())})
+    os.makedirs(base, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def maxwell_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:
+    """Write the deterministic Maxwell-envelope fixture (parquet, one
+    ``value`` JSON string column) once and return its path. 78 events
+    over 24 (repo,path) keys spanning a binlog ROTATION
+    (mysql-bin.000007 -> mysql-bin.000008, offsets resetting) so the
+    packed-seq total order is what the oracle must reproduce: 24
+    inserts, 24 updates in file 7, rotation, 24 more updates at SMALLER
+    raw offsets in file 8 (these must still win LWW), 4 deletes, plus 2
+    malformed payloads for the DLQ split. pyarrow-written so
+    oracle_sql() needs no SparkSession."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{base}/maxwell_v1.parquet"
+    if os.path.exists(path):
+        return path
+
+    def env(op, file_num, offset, key, ts):
+        data = {
+            "repo": f"repo-{key % 4}",
+            "path": f"lib/m{key}.go",
+            "commit": f"x{file_num}-{offset:06d}",
+            "lang": "go",
+            "content": f"func M{key}() int {{ return {offset} }}\n" * (1 + key % 3),
+        }
+        if op == "delete":
+            data = {k: data[k] for k in ("repo", "path")}
+        return json.dumps(
+            {
+                "type": op,
+                "ts": ts,
+                "position": f"mysql-bin.{file_num:06d}:{offset}",
+                "table": "files",
+                "data": data,
+            },
+            sort_keys=True,
+        )
+
+    values = []
+    ts = 1700000000
+    off = 10000
+    for k in range(24):  # inserts, file 7
+        off += 97
+        ts += 1
+        values.append(env("insert", 7, off, k, ts))
+    for k in range(24):  # updates, file 7
+        off += 97
+        ts += 1
+        values.append(env("update", 7, off, k, ts))
+    off = 400  # ROTATION: offsets reset below every file-7 offset
+    for k in range(24):  # updates, file 8 — must win LWW despite smaller raw offset
+        off += 53
+        ts += 1
+        values.append(env("update", 8, off, k, ts))
+    for k in (1, 5, 9, 13):  # deletes, file 8
+        off += 53
+        ts += 1
+        values.append(env("delete", 8, off, k, ts))
+    values.append("maxwell but broken {{{")
+    values.append(json.dumps({"type": "update", "ts": 1, "data": {"repo": "x"}}))  # no position
 
     table = pa.table({"value": pa.array(values, pa.string())})
     os.makedirs(base, exist_ok=True)

@@ -347,14 +347,24 @@ class LakeTable:
                 files[str(b)] = compacted.get(str(b), [])
 
         # per-file (repo, path) footer ranges for read-time data
-        # skipping: stats for the just-written files come from their
-        # parquet footers (driver-side, O(new files)); surviving files
-        # keep their previously recorded ranges
+        # skipping: ranges are computed ONLY for files this commit wrote
+        # (parquet footers, driver-side, O(new files)) — _write_snap
+        # key-sorts them, which is what makes first/last-row a valid
+        # bound. Pre-existing files without stats (written by an older
+        # engine version, sortedness unknown) are pinned to Nones so
+        # the point-lookup pruner never skips them; surviving files
+        # keep their previously recorded ranges.
         prev_stats = dict(prev.get("file_stats", {})) if prev else {}
         live_paths = {p for fl in files.values() for p in fl}
-        fresh = live_paths - set(prev_stats)
+        written_now = {p for fl in new_files.values() for p in fl}
+        if over:
+            written_now.update(p for b in over for p in files[str(b)])
         file_stats = {p: s for p, s in prev_stats.items() if p in live_paths}
-        file_stats.update(_file_key_ranges(sorted(fresh)))
+        file_stats.update(
+            _file_key_ranges(sorted((written_now & live_paths) - set(prev_stats)))
+        )
+        for p in live_paths - set(file_stats):  # legacy stat-less: never prune
+            file_stats[p] = [None, None, None, None]
 
         prev_ids = set(prev.get("batch_ids", [])) if prev else set()
         if prev and "batch_ids" not in prev:  # pre-ledger log: rebuild once

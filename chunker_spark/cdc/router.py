@@ -40,6 +40,13 @@ def route_batch(
     for that table in this batch), and the DataFrame of rows whose
     ``table_col`` matched no destination.
     """
+    # Evaluate the batch ONCE: each destination re-reads `events` (an
+    # isEmpty probe + the apply), and a wire-parsed batch would re-run
+    # its from_json parse T+1 times per micro-batch. localCheckpoint
+    # materializes the parsed rows up front; truncating lineage also
+    # keeps per-table plans flat. Cleaned up before returning — the
+    # unrouted remainder is materialized too so it stays valid.
+    events = events.localCheckpoint(eager=True)
     commits: dict[str, dict | None] = {}
     for name, lake in lakes.items():
         part = events.where(F.col(table_col) == name).drop(table_col)

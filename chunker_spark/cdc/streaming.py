@@ -102,21 +102,24 @@ class IngestStream:
         if self.wire_format:
             # envelope batch: parse + DLQ-split inside the micro-batch
             # so malformed payloads are persisted next to the lake.
-            # Gate the DLQ append on the commit like the metrics append:
-            # a re-delivered batch is a lake no-op, so re-appending its
-            # DLQ rows would double them.
             from .envelopes import parse_debezium, parse_maxwell, split_malformed
 
             parser = parse_debezium if self.wire_format == "debezium" else parse_maxwell
             df, dlq = split_malformed(df, parser=parser)
             dlq = dlq.localCheckpoint(eager=True)  # split once; reuse for count+write
-            n_bad = dlq.count()
-        else:
-            dlq, n_bad = None, 0
+            if dlq.count():
+                # DLQ lands BEFORE the lake commit, in a per-batch
+                # directory with idempotent overwrite: a crash between
+                # the two writes is healed by re-delivery (the lake
+                # commit no-ops but this overwrite re-runs). The old
+                # append-after-commit order lost the payloads forever in
+                # that crash window — redelivery was a ledger no-op, so
+                # the gated append never re-ran.
+                dlq.coalesce(1).write.mode("overwrite").parquet(
+                    f"{self.lake.root}/dlq/batch_id={batch_id}"
+                )
         commit = apply_batch(self.lake, df, batch_id, params=self.params)
         if commit is not None:
-            if n_bad:
-                dlq.coalesce(1).write.mode("append").parquet(f"{self.lake.root}/dlq")
             _append_metrics(self.lake, commit, batch_id)
             if self.expire_every and (commit["commit_seq"] + 1) % self.expire_every == 0:
                 self.lake.expire_commits(keep_last=self.expire_keep_last)

@@ -29,6 +29,10 @@ def content_hash_split(
     """
     if not (0.0 <= train_frac <= 1.0):
         raise ValueError(f"train_frac must be in [0,1], got {train_frac}")
+    if train_frac >= 1.0:
+        # the 255-clamp + strict '<' below would still send hashes
+        # starting 'ff' to eval; a full train fraction means ALL train
+        return df.withColumn(split_col, F.lit("train"))
     threshold = format(min(int(train_frac * 256), 255), "02x")
     first_byte = F.substring(F.sha2(F.col(text_col), 256), 1, 2)
     return df.withColumn(
@@ -47,5 +51,7 @@ def hash_sample(
     1/65536 granularity (first two hex bytes)."""
     if not (0.0 <= frac <= 1.0):
         raise ValueError(f"frac must be in [0,1], got {frac}")
+    if frac >= 1.0:
+        return df  # full sample: the clamped-threshold '<' would drop 1/65536
     threshold = format(min(int(frac * 65536), 65535), "04x")
     return df.where(F.substring(F.sha2(F.col(text_col), 256), 1, 4) < F.lit(threshold))

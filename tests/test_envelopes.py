@@ -60,7 +60,7 @@ def test_debezium_schema_ver_and_evolved_columns(spark):
 
 
 def test_maxwell_parse(spark):
-    from chunker_spark.cdc.envelopes import parse_maxwell
+    from chunker_spark.cdc.envelopes import BINLOG_PACK_SHIFT, parse_maxwell
 
     raw = spark.createDataFrame(
         [
@@ -74,8 +74,94 @@ def test_maxwell_parse(spark):
         "value string",
     )
     ev = parse_maxwell(raw).orderBy("seq").collect()
-    assert [(e.op, e.seq) for e in ev] == [("I", 4521), ("D", 4600)]
+    base = 3 << BINLOG_PACK_SHIFT
+    assert [(e.op, e.seq) for e in ev] == [("I", base + 4521), ("D", base + 4600)]
     assert ev[0].content == "c" and ev[1].content is None
+
+
+def test_maxwell_seq_monotonic_across_binlog_rotation(spark):
+    """Offsets RESET on binlog rotation: an event at file 4 offset 100
+    must order AFTER file 3 offset 99999. Bare-offset positions (no
+    file part) keep their raw offset; a position-less envelope gets a
+    null seq (DLQ material, not a silently-wrong order)."""
+    from chunker_spark.cdc.envelopes import BINLOG_PACK_SHIFT, parse_maxwell
+
+    def mx(pos, content):
+        body = {"type": "update", "ts": 1700000000,
+                "data": {"repo": "r", "path": "p", "content": content}}
+        if pos is not None:
+            body["position"] = pos
+        return json.dumps(body)
+
+    raw = spark.createDataFrame(
+        [
+            (mx("mysql-bin.000003:99999", "old"),),
+            (mx("mysql-bin.000004:100", "new"),),
+            (mx("777", "bare"),),
+            (mx(None, "lost"),),
+        ],
+        "value string",
+    )
+    got = {e.content: e.seq for e in parse_maxwell(raw).collect()}
+    assert got["old"] == (3 << BINLOG_PACK_SHIFT) + 99999
+    assert got["new"] == (4 << BINLOG_PACK_SHIFT) + 100
+    assert got["new"] > got["old"]  # rotation preserved the total order
+    assert got["bare"] == 777
+    assert got["lost"] is None
+
+
+def test_debezium_mysql_file_pos_fallback(spark):
+    """A MySQL Debezium source has no lsn — seq falls back to the
+    packed (source.file, source.pos) coordinate, monotonic across
+    rotations; lsn still wins when present."""
+    from chunker_spark.cdc.envelopes import BINLOG_PACK_SHIFT, parse_debezium
+
+    def dbz_src(source, content):
+        return json.dumps({
+            "op": "u", "ts_ms": 1700000000000,
+            "before": None,
+            "after": {"repo": "r", "path": "p", "content": content},
+            "source": source,
+        })
+
+    raw = spark.createDataFrame(
+        [
+            (dbz_src({"file": "mysql-bin.000009", "pos": "500"}, "f9"),),
+            (dbz_src({"file": "mysql-bin.000010", "pos": "42"}, "f10"),),
+            (dbz_src({"lsn": "12345", "file": "mysql-bin.000010", "pos": "42"}, "lsn"),),
+            (dbz_src({"pos": "600"}, "noname"),),
+        ],
+        "value string",
+    )
+    got = {e.content: e.seq for e in parse_debezium(raw).collect()}
+    assert got["f9"] == (9 << BINLOG_PACK_SHIFT) + 500
+    assert got["f10"] == (10 << BINLOG_PACK_SHIFT) + 42
+    assert got["f10"] > got["f9"]
+    assert got["lsn"] == 12345  # lsn takes precedence
+    assert got["noname"] == 600  # fileless source packs as ordinal 0
+
+
+def test_maxwell_fixture_deterministic_and_splits(spark):
+    from chunker_spark.cdc.envelopes import (
+        maxwell_fixture_path,
+        parse_maxwell,
+        split_malformed,
+    )
+
+    p1, p2 = maxwell_fixture_path(), maxwell_fixture_path()
+    assert p1 == p2
+    raw = spark.read.parquet(p1)
+    clean, dlq = split_malformed(raw, parser=parse_maxwell)
+    assert dlq.count() == 2  # the planted bad-JSON + position-less rows
+    assert clean.count() == raw.count() - 2
+    # the rotation is real: both file ordinals present, and every
+    # file-8 seq orders after every file-7 seq despite smaller offsets
+    from chunker_spark.cdc.envelopes import BINLOG_PACK_SHIFT
+
+    seqs = [r.seq for r in clean.select("seq").collect()]
+    f7 = [s for s in seqs if (s >> BINLOG_PACK_SHIFT) == 7]
+    f8 = [s for s in seqs if (s >> BINLOG_PACK_SHIFT) == 8]
+    assert f7 and f8 and min(f8) > max(f7)
 
 
 def test_split_malformed_diverts_and_preserves_payload(spark):
