@@ -568,7 +568,14 @@ FROM documents
 
 
 def q_doc_manifest(spark, sf):
-    """Chunk manifests over documents (the CDC kernel surface)."""
+    """Chunk manifests over documents (the CDC kernel surface),
+    recomputed through the vectorized Arrow UDF. The oracle joins the
+    documents table BY CONTENT HASH to generation-time expected values
+    computed by the independent scalar boundary kernel
+    (manifest_expected_fixture_path) — so chunk counts, the first
+    boundary's rolling-hash fingerprint, and the EOF-rule final length
+    are all value-checked against a second implementation, mirroring
+    the reference's expected-vector tests (package.d:444-481)."""
     from chunker_spark.functions.manifest import with_manifest
     from chunker_spark.kernel import ChunkerParams
 
@@ -579,10 +586,21 @@ def q_doc_manifest(spark, sf):
         "doc_id",
         "content_sha256",
         "size",
-        F.size("manifest").alias("n_chunks"),
+        F.size("manifest").cast("long").alias("n_chunks"),
         F.col("manifest")[0]["cut"].alias("first_cut"),
         F.col("manifest")[F.size("manifest") - 1]["length"].alias("last_len"),
     )
+
+
+def _sql_doc_manifest() -> str:
+    from chunker_spark.functions.manifest import manifest_expected_fixture_path
+
+    path = manifest_expected_fixture_path()  # ensure the fixture exists for DuckDB
+    return f"""
+SELECT d.doc_id, f.content_sha256, f.size, f.n_chunks, f.first_cut, f.last_len
+FROM documents d
+JOIN read_parquet('{path}') f ON sha256(d.text) = f.content_sha256
+"""
 
 
 def q_chunk_store(spark, sf):
@@ -1377,7 +1395,5 @@ def oracle_sql() -> dict[str, str]:
         "maxwell_parse": _sql_maxwell_parse(),
         "lang_id": _sql_lang_id(),
         "media_features": _sql_media_features(),
-        # doc_manifest: kernel-specific (CDC chunk manifests) —
-        # rows-only by design; its tiling invariant is oracle-checked
-        # through manifest_tiling and its bytes through cdc_replay
+        "doc_manifest": _sql_doc_manifest(),
     }

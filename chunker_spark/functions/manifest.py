@@ -126,6 +126,75 @@ def content_sha256(content_col: str = "content") -> Column:
     return F.sha2(F.col(content_col).cast("binary"), 256)
 
 
+def manifest_expected_fixture_path(
+    base: str = "/tmp/chunker_spark_fixtures",
+    sf_dirs: tuple[str, ...] = ("/root/testdata/sf0.001", "/root/testdata/sf0.01"),
+    params: ChunkerParams | None = None,
+) -> str:
+    """Generation-time expected manifest summaries for the ``documents``
+    corpora, computed by the SCALAR boundary oracle (kernel/chunker.py
+    ``chunk_list`` — per-byte Python, the independent referee) rather
+    than the vectorized production kernel the Spark query runs. One row
+    per distinct content, keyed by content sha256 so the same fixture
+    serves any scale factor whose documents it covers: columns
+    (content_sha256, size, n_chunks, first_cut, last_len). This mirrors
+    the reference's testWithData pattern of checking every chunk against
+    precomputed expected vectors
+    (/root/reference/src/chunker/package.d:444-481), lifted to the
+    driver's DuckDB gate: the oracle joins documents to these recorded
+    values by content hash while Spark recomputes through the vectorized
+    manifest UDF — any boundary, EOF-rule, or fingerprint divergence
+    between the two kernels breaks the hash compare. pyarrow-written
+    (atomic os.replace) so oracle_sql() needs no SparkSession.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..kernel.chunker import chunk_list
+
+    if params is None:
+        params = ChunkerParams(average_bits=9, min_size=128, max_size=4096)
+    path = f"{base}/manifest_expected_v1.parquet"
+    if os.path.exists(path):
+        return path
+
+    seen: dict[str, tuple[int, int, int | None, int | None]] = {}
+    for sf_dir in sf_dirs:
+        table = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        for text in table.column("text").to_pylist():
+            if text is None:
+                continue
+            data = text.encode("utf-8")
+            digest = hashlib.sha256(data).hexdigest()
+            if digest in seen:
+                continue
+            chunks = chunk_list(data, params)
+            seen[digest] = (
+                len(data),
+                len(chunks),
+                chunks[0].cut if chunks else None,
+                chunks[-1].length if chunks else None,
+            )
+
+    digests = sorted(seen)
+    out = pa.table(
+        {
+            "content_sha256": pa.array(digests, pa.string()),
+            "size": pa.array([seen[d][0] for d in digests], pa.int64()),
+            "n_chunks": pa.array([seen[d][1] for d in digests], pa.int64()),
+            "first_cut": pa.array([seen[d][2] for d in digests], pa.int64()),
+            "last_len": pa.array([seen[d][3] for d in digests], pa.int64()),
+        }
+    )
+    os.makedirs(base, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def chunk_store(df: DataFrame, manifest_col: str = "manifest") -> DataFrame:
     """Content-addressable chunk table: explode manifests and count
     references per chunk hash (dedup identity = sha256, mirroring

@@ -2,8 +2,10 @@
 
 Each returns a DataFrame transformation built from stock Spark ops so
 Catalyst plans them (hash aggregates with partial combine, broadcastable
-joins); only MinHash signature computation crosses to Python, as one
-Arrow-vectorized pandas UDF.
+joins). Python is entered only through Arrow-vectorized pandas UDFs —
+MinHash signatures, word-n-gram shingling — and through the blocked
+numpy matmul of the exact embedding-dedup baseline (applyInPandas);
+every join, filter, aggregate, and verification stays JVM-side.
 
 Scale notes (100 TB): exact dedup is a single hash aggregate on a
 64-bit fingerprint (shuffle = one row per distinct doc per task).
@@ -105,13 +107,18 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard_est) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    # Signatures are computed ONCE and persisted: the band join and the
-    # two verify joins all reference them, and the Python UDF is the
-    # expensive stage. (At 100 TB you would checkpoint signatures to a
-    # table; persist is the in-session equivalent.)
+    # Signatures are computed ONCE, via eager localCheckpoint: the band
+    # join and the two verify joins all reference them, and the Python
+    # UDF is the expensive stage. localCheckpoint (not persist) because
+    # persist registers the frame in the session CacheManager, which
+    # holds it until an explicit unpersist — a storage-memory leak per
+    # call in a long-lived session, and this function returns a lazy
+    # frame so it cannot unpersist itself. Checkpoint blocks are
+    # reclaimed by the ContextCleaner once the result is unreferenced.
+    # (At 100 TB you would checkpoint signatures to a real table.)
     sig = df.select(
         F.col(id_col).alias("id"), minhash_udf(num_hashes, shingle_k)(F.col(text_col)).alias("sig")
-    ).persist()
+    ).localCheckpoint(eager=True)
     # Band rows are fixed-width (id, band, bkt) — the full signature
     # array never enters the candidate shuffle; it rejoins at verify.
     banded = sig.select(
@@ -385,12 +392,15 @@ def ngram_jaccard_pairs(
       sets joined back by candidate id.
     """
     grams_udf = _word_ngram_udf(n, max_ngrams)
-    # persisted: feeds the prefix index and both verify sides, and the
-    # shingle UDF is the expensive stage (cf. minhash signatures)
+    # eager localCheckpoint, not persist: feeds the prefix index and
+    # both verify sides, and the shingle UDF is the expensive stage —
+    # but persist would pin the frame in the CacheManager until an
+    # unpersist this lazy-returning function can never issue (storage
+    # leak per call); checkpoint blocks free once the result is GC'd
     g = (
         df.select(F.col(id_col).alias("id"), F.array_sort(grams_udf(F.col(text_col))).alias("grams"))
         .where(F.size("grams") > 0)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sz = F.size("grams")
     prefix_len = (sz - F.ceil(sz * F.lit(float(threshold))) + 1).cast("int")

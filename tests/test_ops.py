@@ -387,3 +387,30 @@ def test_dedup_clusters_groups_exact_duplicates(spark):
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     got = {r.doc_id: r.rep_id for r in dedup_clusters(df).collect()}
     assert got == {1: 1, 5: 1, 9: 1, 2: 2, 7: 2}
+
+
+def test_pair_ops_leave_no_cached_frames(spark):
+    """minhash_lsh_pairs / ngram_jaccard_pairs materialize their
+    signature/gram frames via eager localCheckpoint, NOT persist():
+    persist registers the frame in the session CacheManager, which pins
+    its storage blocks until an explicit unpersist that a
+    lazy-returning op can never issue — a per-call leak in a long-lived
+    session. After running both ops to completion, the CacheManager
+    must hold nothing, and frac=1.0 sampling edge cases stay total."""
+    from chunker_spark.ops.curation import content_hash_split, hash_sample
+    from chunker_spark.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"the quick brown fox {i % 4} jumps over the lazy dog {i % 4} again and again")
+            for i in range(24)
+        ],
+        "doc_id long, text string",
+    )
+    assert minhash_lsh_pairs(docs).count() > 0
+    assert ngram_jaccard_pairs(docs).count() > 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    # full-fraction edges (ADVICE): nothing may drop at frac/train_frac 1.0
+    assert hash_sample(docs, frac=1.0).count() == 24
+    splits = content_hash_split(docs, train_frac=1.0).select("split").distinct().collect()
+    assert [r.split for r in splits] == ["train"]
