@@ -100,6 +100,7 @@ class LakeTable:
         num_buckets: int = 16,
         compact_threshold: int = 8,
         tombstone_horizon: int | None = None,
+        ledger_spill_threshold: int = 100_000,
     ) -> None:
         """``tombstone_horizon``: optional binlog-seq watermark below
         which the source guarantees no more (re)deliveries — the
@@ -108,12 +109,22 @@ class LakeTable:
         anything, and keeping every delete forever makes table size
         O(all keys ever) instead of O(live keys) on churny sources.
         Tombstones at or above the horizon are always retained, so
-        late/reordered events within the horizon stay safe."""
+        late/reordered events within the horizon stay safe.
+
+        ``ledger_spill_threshold``: once the in-commit batch-id ledger
+        exceeds this many ids it is spilled to an immutable side file
+        (``meta/ledger-*.json``) referenced by the commit, keeping every
+        commit JSON O(threshold) instead of O(all batches ever) — the
+        10⁶-batch regime would otherwise rewrite a multi-MB ledger into
+        every commit. Spilled chunks are immutable, so they are read
+        once per process and cached."""
         self.spark = spark
         self.root = root.rstrip("/")
         self.num_buckets = num_buckets
         self.compact_threshold = compact_threshold
         self.tombstone_horizon = tombstone_horizon
+        self.ledger_spill_threshold = ledger_spill_threshold
+        self._ledger_cache: dict[str, frozenset[str]] = {}
         os.makedirs(f"{self.root}/meta", exist_ok=True)
         os.makedirs(f"{self.root}/data", exist_ok=True)
 
@@ -138,19 +149,36 @@ class LakeTable:
         with open(f"{self.root}/meta/commit-{commit_seq:012d}.json") as f:
             return json.load(f)
 
+    def _ledger_chunk(self, name: str) -> frozenset[str]:
+        """Read one spilled ledger chunk. Chunks are immutable once
+        written (tmp + rename, never appended), so the per-process
+        cache makes the steady-state idempotency check O(1) reads: the
+        commit JSON (with its bounded in-commit tail) is the only file
+        re-read per batch; chunk files are read once per process
+        lifetime regardless of batch count."""
+        cached = self._ledger_cache.get(name)
+        if cached is None:
+            with open(f"{self.root}/meta/{name}") as f:
+                cached = frozenset(json.load(f)["batch_ids"])
+            self._ledger_cache[name] = cached
+        return cached
+
     def committed_batch_ids(self) -> set[str]:
         """Every batch id ever committed, from the LATEST commit only:
-        each commit carries the full id ledger (``batch_ids``), so the
-        per-batch idempotency check is O(1) file reads instead of
-        re-reading every commit JSON (O(n) per batch → O(n²) over a
-        stream). Ledger size is ~10 bytes/batch — fine to 10⁶ batches;
-        beyond that, chunk the ledger into side files. Falls back to the
-        full scan for pre-ledger commit logs."""
+        each commit carries the recent-tail id ledger (``batch_ids``)
+        plus references to immutable spilled chunks (``ledger_files``,
+        cached per process), so the per-batch idempotency check is O(1)
+        file reads instead of re-reading every commit JSON (O(n) per
+        batch → O(n²) over a stream). Falls back to the full scan for
+        pre-ledger commit logs."""
         commit = self.current_commit()
         if not commit:
             return set()
         if "batch_ids" in commit:
-            return set(commit["batch_ids"])
+            ids = set(commit["batch_ids"])
+            for name in commit.get("ledger_files", []):
+                ids |= self._ledger_chunk(name)
+            return ids
         ids = set()
         for name in self._commit_files():
             with open(f"{self.root}/meta/{name}") as f:
@@ -366,13 +394,31 @@ class LakeTable:
         for p in live_paths - set(file_stats):  # legacy stat-less: never prune
             file_stats[p] = [None, None, None, None]
 
-        prev_ids = set(prev.get("batch_ids", [])) if prev else set()
+        prev_tail = set(prev.get("batch_ids", [])) if prev else set()
+        ledger_files = list(prev.get("ledger_files", [])) if prev else []
         if prev and "batch_ids" not in prev:  # pre-ledger log: rebuild once
-            prev_ids = self.committed_batch_ids()
+            prev_tail = self.committed_batch_ids()
+        tail = sorted(prev_tail | {str(batch_id)})
+        if len(tail) > self.ledger_spill_threshold:
+            # spill the tail to an immutable side chunk so the commit
+            # JSON stays O(threshold) forever; a crash between this
+            # write and the commit rename is harmless (retry rewrites
+            # the same deterministic content via tmp+rename)
+            chunk_name = f"ledger-{seq:012d}.json"
+            tmp = f"{self.root}/meta/.tmp-ledger-{uuid.uuid4().hex}.json"
+            with open(tmp, "w") as f:
+                json.dump({"batch_ids": tail}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, f"{self.root}/meta/{chunk_name}")
+            self._ledger_cache[chunk_name] = frozenset(tail)
+            ledger_files.append(chunk_name)
+            tail = []
         commit = {
             "commit_seq": seq,
             "batch_id": str(batch_id),
-            "batch_ids": sorted(prev_ids | {str(batch_id)}),  # full ledger (O(1) reads)
+            "batch_ids": tail,  # recent ids; spilled chunks hold the rest
+            "ledger_files": ledger_files,
             "ts": time.time(),
             "kind": "delta" + ("+compact" if over else ""),
             "num_buckets": self.num_buckets,

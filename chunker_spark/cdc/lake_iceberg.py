@@ -51,6 +51,27 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def merge_into_sql(table: str, delta_view: str = "__cdc_delta") -> str:
+    """The seq-fenced MERGE text, exposed so the contract is unit-pinned
+    without an Iceberg runtime. WHEN MATCHED fires only for a strictly
+    higher incoming seq — equal (re-delivered) or lower (late) seqs
+    change nothing; tombstones insert/update as flagged rows."""
+    on = " AND ".join(f"t.{c} = s.{c}" for c in KEY_COLS)
+    return (
+        f"MERGE INTO {table} t\n"
+        f"USING {delta_view} s ON {on}\n"
+        "WHEN MATCHED AND s.seq > t.seq THEN UPDATE SET *\n"
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def ledger_insert_sql(ledger: str) -> str:
+    """Parameterized ledger append (``:batch_id`` placeholder — batch
+    ids are data-driven strings and must never be interpolated into the
+    SQL text; the ledger NAME comes from trusted constructor config)."""
+    return f"INSERT INTO {ledger} VALUES (:batch_id, current_timestamp())"
+
+
 class IcebergLakeTable:
     """Same sink contract as lake.LakeTable, on an Iceberg catalog table."""
 
@@ -78,18 +99,18 @@ class IcebergLakeTable:
         """Seq-fenced MERGE INTO keyed on (repo, path). Idempotent:
         equal or lower seqs never match, tombstones persist as flagged
         rows, so replaying this batch (crash between the MERGE and the
-        ledger append) is a no-op."""
-        delta_rows.createOrReplaceTempView("__cdc_delta")
-        on = " AND ".join(f"t.{c} = s.{c}" for c in KEY_COLS)
-        self.spark.sql(
-            f"""
-            MERGE INTO {self.table} t
-            USING __cdc_delta s ON {on}
-            WHEN MATCHED AND s.seq > t.seq THEN UPDATE SET *
-            WHEN NOT MATCHED THEN INSERT *
-            """
-        )
-        self.spark.sql(
-            f"INSERT INTO {self.ledger} VALUES ('{batch_id}', current_timestamp())"
-        )
+        ledger append) is a no-op.
+
+        The delta is pre-reduced to ONE row per key (max seq) before the
+        MERGE: Iceberg's MERGE aborts on multiple source matches, and a
+        batch spanning several changes to one key would otherwise only
+        be safe when driven through apply_batch's LWW — making the
+        precondition explicit here keeps the seam safe when called
+        directly."""
+        from .merge import last_writer_wins
+
+        reduced = last_writer_wins(delta_rows, broadcast_winners=False)
+        reduced.createOrReplaceTempView("__cdc_delta")
+        self.spark.sql(merge_into_sql(self.table))
+        self.spark.sql(ledger_insert_sql(self.ledger), args={"batch_id": str(batch_id)})
         return {"batch_id": str(batch_id), "table": self.table, "stats": stats or {}}

@@ -130,9 +130,7 @@ class IngestStream:
             # case for exactly-once: the batch will be re-delivered.
             raise RuntimeError("injected crash after lake commit")
 
-    def run_available(self) -> None:
-        """Process everything currently in the log, then stop
-        (Trigger.AvailableNow — respects max_files_per_trigger)."""
+    def _build_stream(self):
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         if self.wire_format:
             # raw bus dump: JSON-lines text files, one envelope per line
@@ -160,12 +158,64 @@ class IngestStream:
             # exactly-once mechanism — this guards the producer side.)
             stream = stream.withWatermark("ts", self.dedup_watermark)
             stream = stream.dropDuplicatesWithinWatermark(["seq"])
-        query = (
-            stream.writeStream.foreachBatch(self._handle_batch)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
+        return stream.writeStream.foreachBatch(self._handle_batch).option(
+            "checkpointLocation", self.checkpoint_dir
         )
+
+    def run_available(self) -> None:
+        """Process everything currently in the log, then stop
+        (Trigger.AvailableNow — respects max_files_per_trigger). This is
+        the backfill/catch-up mode; ``run_processing_time`` is the
+        long-lived production tail."""
+        query = self._build_stream().trigger(availableNow=True).start()
+        query.awaitTermination()
+
+    def run_processing_time(
+        self,
+        interval: str = "500 milliseconds",
+        min_batches: int | None = None,
+        idle_for_s: float = 2.0,
+        max_runtime_s: float = 600.0,
+    ) -> None:
+        """Long-lived tail on a processing-time trigger: the query keeps
+        firing as new segments land, with the SAME checkpoint/ledger
+        exactly-once story as AvailableNow (the two modes share one
+        checkpoint — a backfill can hand off to the tail and back).
+
+        Returns once the source is drained (no data available, no
+        trigger active, continuously for ``idle_for_s``) AND at least
+        ``min_batches`` batches ran — i.e. this wraps the production
+        run-forever loop with a drain condition so soak tests and
+        bounded runs terminate; a real deployment passes
+        ``max_runtime_s=inf`` and stops via orchestration.
+        ``max_runtime_s`` bounds the wait; an exception raised inside a
+        micro-batch (including the injected-crash test hook) propagates.
+        """
+        import math
+        import time
+
+        query = self._build_stream().trigger(processingTime=interval).start()
+        deadline = time.time() + (max_runtime_s if not math.isinf(max_runtime_s) else 1e18)
+        idle_since: float | None = None
+        try:
+            while True:
+                if query.exception() is not None:
+                    query.awaitTermination()  # surfaces the wrapped error
+                status = query.status
+                busy = status.get("isDataAvailable") or status.get("isTriggerActive")
+                now = time.time()
+                if busy:
+                    idle_since = None
+                else:
+                    idle_since = idle_since if idle_since is not None else now
+                    drained = now - idle_since >= idle_for_s
+                    if drained and (min_batches is None or self.batches_seen >= min_batches):
+                        break
+                if now >= deadline:
+                    break
+                time.sleep(0.1)
+        finally:
+            query.stop()
         query.awaitTermination()
 
 

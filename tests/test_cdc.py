@@ -147,6 +147,58 @@ def test_streaming_resume_after_kill(spark, tmp_path):
     assert len(ids) == 6  # one commit per segment batch, no duplicates
 
 
+def test_continuous_trigger_soak(spark, tmp_path):
+    """Long-lived tail soak: >=50 micro-batches on a processing-time
+    trigger with in-stream expiry. Asserts the unbounded-growth
+    surfaces stay bounded — commit-JSON size, meta-dir file count,
+    per-bucket data-file count, checkpoint bytes — and that the final
+    state equals both the single-threaded replay oracle and a fresh
+    AvailableNow (backfill-mode) run over the same log: the two trigger
+    modes are interchangeable on a shared checkpoint contract."""
+    import json as _json
+    import os
+
+    n_ev = 300
+    spec = GenSpec(seed=7, n_keys=40, mean_blocks=2)
+    events = list(gen_events_local(spec, n_ev))
+    seg_dir = str(tmp_path / "segments")
+    write_segments(spark, spec, n_ev, seg_dir, n_segments=50)
+    small = ChunkerParams(average_bits=6, min_size=64, max_size=512)
+
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    stream = IngestStream(
+        spark, lake, seg_dir, str(tmp_path / "ckpt"), params=small,
+        max_files_per_trigger=1, expire_every=10, expire_keep_last=4,
+    )
+    stream.run_processing_time(
+        interval="100 milliseconds", min_batches=50, idle_for_s=1.5, max_runtime_s=480
+    )
+    assert stream.batches_seen >= 50
+
+    # bounded growth: commit JSONs stay small, expiry caps the meta dir,
+    # compaction caps per-bucket read amplification
+    commit_paths = glob.glob(f"{lake.root}/meta/commit-*.json")
+    assert max(os.path.getsize(p) for p in commit_paths) < 64_000
+    assert len(commit_paths) <= 4 + 10  # expire_keep_last + one expire_every window
+    commit = lake.current_commit()
+    assert all(len(fl) <= lake.compact_threshold + 1 for fl in commit["files"].values())
+    assert len(lake.committed_batch_ids()) == 50  # full ledger survives expiry
+    ck_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dn, fs in os.walk(str(tmp_path / "ckpt"))
+        for f in fs
+    )
+    assert ck_bytes < 2_000_000  # offset WAL + file-source log, not data
+
+    # equality: soak state == oracle == AvailableNow backfill state
+    _assert_state_equals_oracle(spark, lake, events)
+    lake2 = LakeTable(spark, str(tmp_path / "lake2"), num_buckets=2)
+    IngestStream(
+        spark, lake2, seg_dir, str(tmp_path / "ckpt2"), params=small
+    ).run_available()
+    _assert_state_equals_oracle(spark, lake2, events)
+
+
 def test_schema_normalization(spark):
     """Canonical projection: v1 rows get branch='main' and language
     from `lang`; v3 rows read `language` directly."""
@@ -221,6 +273,64 @@ def test_batch_id_ledger_is_o1(spark, tmp_path):
     assert lake.committed_batch_ids() == {"L0", "L1", "L2"}
     # replay of an OLD batch (not just the latest) is still a no-op
     assert apply_batch(lake, _events_df(spark, events[0:50]), "L0", params=PARAMS) is None
+
+
+def test_ledger_spills_to_side_chunks(spark, tmp_path):
+    """Past ledger_spill_threshold the in-commit batch-id tail spills to
+    immutable meta/ledger-*.json chunks: the commit JSON stays
+    O(threshold) at any batch count, every id (spilled or tail) still
+    gates replays, and a cold LakeTable instance (empty chunk cache)
+    resolves the full set."""
+    events = list(gen_events_local(SPEC, 100))
+    lake = LakeTable(
+        spark, str(tmp_path / "lake"), num_buckets=2, ledger_spill_threshold=4
+    )
+    for i in range(10):
+        lo = (i * 10) % 100
+        apply_batch(lake, _events_df(spark, events[lo : lo + 10]), f"S{i}", params=PARAMS)
+    commit = lake.current_commit()
+    assert len(commit["batch_ids"]) <= 4  # bounded tail
+    assert commit["ledger_files"]  # at least one spill happened
+    assert lake.committed_batch_ids() == {f"S{i}" for i in range(10)}
+    # replay of a SPILLED batch id is still a no-op
+    assert apply_batch(lake, _events_df(spark, events[0:10]), "S0", params=PARAMS) is None
+    # a cold instance (no warm chunk cache) sees the same ledger
+    cold = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    assert cold.committed_batch_ids() == {f"S{i}" for i in range(10)}
+
+
+def test_ledger_scale_100k_batches(spark, tmp_path):
+    """10⁵-batch regime, synthesized without running 10⁵ Spark commits:
+    a fabricated commit carrying 100k tail ids must spill on the next
+    real append, leaving the new commit JSON small (tail reset), with
+    all 100k ids + the new one still replay-gating."""
+    import json as _json
+    import os as _os
+
+    events = list(gen_events_local(SPEC, 20))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    apply_batch(lake, _events_df(spark, events[:10]), "base", params=PARAMS)
+    # fabricate a huge tail on the latest commit (simulating 10^5
+    # pre-spill batches accumulated by an older engine version)
+    commit = lake.current_commit()
+    commit["batch_ids"] = sorted({f"H{i:06d}" for i in range(100_000)} | {"base"})
+    commit["commit_seq"] += 1
+    lake._write_commit(commit)
+
+    big = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    apply_batch(big, _events_df(spark, events[10:20]), "after", params=PARAMS)
+    latest = big.current_commit()
+    assert latest["batch_ids"] == []  # spilled: tail reset
+    assert len(latest["ledger_files"]) == 1
+    size = _os.path.getsize(
+        f"{big.root}/meta/commit-{latest['commit_seq']:012d}.json"
+    )
+    with open(f"{big.root}/meta/{latest['ledger_files'][0]}") as f:
+        assert len(_json.load(f)["batch_ids"]) == 100_002
+    assert size < 100_000  # commit JSON no longer carries the 100k ledger
+    ids = big.committed_batch_ids()
+    assert len(ids) == 100_002 and "H054321" in ids and "after" in ids
+    assert apply_batch(big, _events_df(spark, events[:10]), "H054321", params=PARAMS) is None
 
 
 def test_time_travel_read(spark, tmp_path):
