@@ -13,10 +13,12 @@
                 completeness, SimHash order/case invariance, ANN
                 self-nearest rank-1, full CDC-replay final state and
                 change-feed diff, the lang-id heuristic restated in
-                SQL, media digests pinned to generation-time values).
-                Only the kernel chunk manifests stay rows-only — their
-                invariants are checked through ``manifest_tiling`` and
-                ``cdc_replay`` (37 of 38 checked).
+                SQL, media digests pinned to generation-time values,
+                kernel chunk manifests joined by content hash to
+                expected vectors precomputed by the independent scalar
+                kernel, and both wire envelopes — Debezium and Maxwell,
+                the latter across a binlog rotation). All 40 of 40
+                queries are value-checked.
 
 Numeric parity policy: aggregates compute in exact DECIMAL on both
 sides, then cast to double and round — distributed double summation is

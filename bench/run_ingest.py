@@ -91,6 +91,14 @@ def main() -> None:
         help="only generate the event log as parquet files into this dir, then exit",
     )
     ap.add_argument(
+        "--trigger",
+        choices=["available", "processing"],
+        default="available",
+        help="streaming trigger mode for --segments runs: AvailableNow "
+        "backfill (default) or the long-lived processing-time tail "
+        "(soak shape; reports the per-batch latency series)",
+    )
+    ap.add_argument(
         "--tmpfs",
         action="store_true",
         help="place lake, checkpoint and shuffle dirs on /dev/shm — the "
@@ -161,7 +169,12 @@ def main() -> None:
             max_files_per_trigger=per_trigger,
         )
         t0 = time.time()
-        stream.run_available()
+        if args.trigger == "processing":
+            stream.run_processing_time(
+                interval="200 milliseconds", min_batches=args.batches, idle_for_s=1.5
+            )
+        else:
+            stream.run_available()
     else:
         per = (args.events + args.batches - 1) // args.batches
         for b in range(args.batches):
@@ -201,24 +214,28 @@ def main() -> None:
             print(json.dumps({"error": "state mismatch", "got": digest}), file=sys.stderr)
             sys.exit(1)
 
-    print(
-        json.dumps(
-            {
-                "metric": "cdc_ingest_events_per_sec",
-                "mode": "stream" if args.segments else "synth",
-                "value": round(args.events / elapsed, 1),
-                "unit": "events/s",
-                "events": args.events,
-                "keys": spec.n_keys,
-                "parallelism": args.parallelism,
-                "batches": args.batches,
-                "elapsed_sec": round(elapsed, 2),
-                "state_sha256": digest,
-                "verified": verified,
-                "rows_final": len(got_rows),
-            }
-        )
-    )
+    result = {
+        "metric": "cdc_ingest_events_per_sec",
+        "mode": "stream" if args.segments else "synth",
+        "value": round(args.events / elapsed, 1),
+        "unit": "events/s",
+        "events": args.events,
+        "keys": spec.n_keys,
+        "parallelism": args.parallelism,
+        "batches": args.batches,
+        "elapsed_sec": round(elapsed, 2),
+        "state_sha256": digest,
+        "verified": verified,
+        "rows_final": len(got_rows),
+    }
+    if args.segments:
+        lat = sorted(stream.batch_latencies)
+        if lat:
+            result["trigger"] = args.trigger
+            result["batch_latency_p50"] = lat[len(lat) // 2]
+            result["batch_latency_p95"] = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
+            result["batch_latencies"] = stream.batch_latencies
+    print(json.dumps(result))
     spark.stop()
     if not args.out:
         shutil.rmtree(out, ignore_errors=True)

@@ -97,8 +97,21 @@ class IngestStream:
             raise ValueError("dedup_watermark requires the typed-parquet source")
         self.wire_format = wire_format
         self.batches_seen = 0
+        #: per-batch wall seconds, appended by _handle_batch — the soak
+        #: observability surface (latency-over-time without a metrics
+        #: scrape); bounded by the run's batch count, driver-side only
+        self.batch_latencies: list[float] = []
 
     def _handle_batch(self, df, batch_id: int) -> None:
+        import time as _time
+
+        _t0 = _time.monotonic()
+        try:
+            self._handle_batch_inner(df, batch_id)
+        finally:
+            self.batch_latencies.append(round(_time.monotonic() - _t0, 3))
+
+    def _handle_batch_inner(self, df, batch_id: int) -> None:
         if self.wire_format:
             # envelope batch: parse + DLQ-split inside the micro-batch
             # so malformed payloads are persisted next to the lake.

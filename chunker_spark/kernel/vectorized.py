@@ -223,6 +223,15 @@ def chunk_many(buffers: list[bytes], params: ChunkerParams = ChunkerParams()) ->
     need no hashing at all; documents above 64 KiB go through the lazy
     segment scan of ``chunk_buffer``.
     """
+    from .native import provider
+
+    native = provider()
+    if native is not None:
+        raw = native.chunk_many_raw(
+            list(buffers), params.pol, params.average_bits, params.min_size, params.max_size
+        )
+        return [[Chunk(o, ln, cut) for (o, ln, cut) in chunks] for chunks in raw]
+
     n_bufs = len(buffers)
     out: list[list[Chunk] | None] = [None] * n_bufs
     min_size, max_size = params.min_size, params.max_size

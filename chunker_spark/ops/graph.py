@@ -31,6 +31,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    stats_out: list | None = None,
 ) -> DataFrame:
     """Edges (undirected, any orientation, duplicates fine) ->
     (node, component) where component is the minimum node id reachable.
@@ -38,6 +39,12 @@ def connected_components(
     Nodes appearing only in edges are labeled; isolated nodes (no
     edges) don't appear — union the full id set afterwards if every
     row needs a label.
+
+    ``stats_out``: optional list; one dict per round is appended with
+    {round, changed, seconds} plus a final summary {sym_edges, nodes}
+    — the scale-probe instrumentation (per-round shuffle volume is
+    sym_edges + 2·nodes fixed-width rows: the neighbor join, the jump
+    join, and the convergence anti-join).
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -52,8 +59,15 @@ def connected_components(
     )
     edges_cur = sym.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
+    if stats_out is not None:
+        stats_out.append(
+            {"sym_edges": edges_cur.count(), "nodes": labels.count()}
+        )
+
+    import time as _time
 
     for it in range(max_iter):
+        t0 = _time.monotonic()
         # neighbor pass: min label among my neighbors
         with_nbr = (
             edges_cur.join(labels.withColumnRenamed("node", "b"), "b")
@@ -79,6 +93,10 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        if stats_out is not None:
+            stats_out.append(
+                {"round": it, "changed": changed, "seconds": round(_time.monotonic() - t0, 3)}
+            )
         if changed == 0:
             break
     else:

@@ -8,8 +8,10 @@ Scale notes (100 TB): one shuffle total — the window partitionBy on the
 key column — and everything after it (lag, flag, running sum) reuses
 that single partitioning, so Catalyst plans exactly one Exchange. Skewed
 keys (one user with millions of events) serialize within the window
-sort; for bot-scale keys, pre-split by day before sessionizing. No UDFs:
-the whole plan is JVM-side whole-stage codegen.
+sort; ``sessionize(split_interval_s=86400)`` is the opt-in mitigation —
+it partitions the heavy window on (key, coarse time bucket) and
+renumbers via an O(buckets)-per-key prefix sum. No UDFs: the whole plan
+is JVM-side whole-stage codegen.
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ def sessionize(
     ts_col: str = "ts",
     gap_s: int = 1800,
     session_col: str = "session_seq",
+    split_interval_s: int | None = None,
 ) -> DataFrame:
     """Add a per-key session sequence number (0-based, ordered by time).
 
@@ -31,17 +34,57 @@ def sessionize(
     key exceeds ``gap_s`` seconds. Ties on ``ts_col`` are broken by the
     column itself only — callers needing total determinism across equal
     timestamps should pass a composite ordering column.
+
+    ``split_interval_s`` is the bot-scale-skew knob: a single key with
+    millions of events serializes inside the default per-key window
+    sort. With it set, the heavy window partitions on
+    (key, floor(ts / split_interval_s)) — a coarse time bucket — so one
+    hot key spreads across many tasks; per-bucket session counts (one
+    tiny row per (key, bucket)) are then prefix-summed per key and
+    joined back to renumber sessions globally. CONTRACT: results are
+    identical to the unsplit path iff no session spans a bucket
+    boundary, i.e. every same-key event pair straddling a boundary is
+    more than ``gap_s`` apart (pick split_interval_s >> typical session
+    span, e.g. 1 day vs a 30-minute gap; a boundary-straddling session
+    is counted once per bucket it touches).
     """
-    w_order = Window.partitionBy(key_col).orderBy(ts_col)
-    prev_ts = F.lag(ts_col).over(w_order)
-    # exact microsecond interval arithmetic (no unix_timestamp
-    # second-truncation): a gap of exactly gap_s stays in-session
+    if split_interval_s is None:
+        w_order = Window.partitionBy(key_col).orderBy(ts_col)
+        prev_ts = F.lag(ts_col).over(w_order)
+        # exact microsecond interval arithmetic (no unix_timestamp
+        # second-truncation): a gap of exactly gap_s stays in-session
+        boundary = F.col(ts_col) > prev_ts + F.expr(f"INTERVAL {int(gap_s)} SECONDS")
+        is_new = F.when(prev_ts.isNull() | boundary, 1).otherwise(0)
+        running = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return df.withColumn(session_col, F.sum(is_new).over(running) - F.lit(1))
+
+    if split_interval_s <= 0:
+        raise ValueError(f"split_interval_s must be positive, got {split_interval_s}")
+    bkt = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(int(split_interval_s) * 1_000_000))
+    split = df.withColumn("_bkt", bkt)
+    w_local = Window.partitionBy(key_col, "_bkt").orderBy(ts_col)
+    prev_ts = F.lag(ts_col).over(w_local)
     boundary = F.col(ts_col) > prev_ts + F.expr(f"INTERVAL {int(gap_s)} SECONDS")
     is_new = F.when(prev_ts.isNull() | boundary, 1).otherwise(0)
-    running = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    running_local = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = split.withColumn("_local_seq", F.sum(is_new).over(running_local) - F.lit(1))
+    # per-(key,bucket) session counts are tiny (one row per pair); the
+    # prefix sum over buckets is the only per-key-serial step left and
+    # is O(buckets), not O(events)
+    counts = local.groupBy(key_col, "_bkt").agg(
+        (F.max("_local_seq") + 1).alias("_n_sessions")
     )
-    return df.withColumn(session_col, F.sum(is_new).over(running) - F.lit(1))
+    w_bkts = Window.partitionBy(key_col).orderBy("_bkt")
+    offsets = counts.withColumn(
+        "_offset", F.sum("_n_sessions").over(w_bkts) - F.col("_n_sessions")
+    ).select(key_col, "_bkt", "_offset")
+    return (
+        local.join(offsets, [key_col, "_bkt"])
+        .withColumn(session_col, (F.col("_offset") + F.col("_local_seq")).cast("long"))
+        .drop("_bkt", "_local_seq", "_offset")
+    )
 
 
 def session_stats(

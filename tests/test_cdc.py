@@ -333,6 +333,38 @@ def test_ledger_scale_100k_batches(spark, tmp_path):
     assert apply_batch(big, _events_df(spark, events[:10]), "H054321", params=PARAMS) is None
 
 
+def test_lookup_never_prunes_legacy_statless_files(spark, tmp_path):
+    """Upgrade safety (ADVICE): files inherited from a commit log with
+    no file_stats may have been written UNSORTED by an older engine, so
+    their first/last rows are not valid key bounds. append_delta must
+    pin them to null ranges (never pruned) rather than backfilling
+    ranges from footers — a backfilled bogus range made lookup()
+    silently return empty for keys the file actually contains."""
+    import json as _json
+
+    events = list(gen_events_local(SPEC, 80))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    apply_batch(lake, _events_df(spark, events[:40]), "old", params=PARAMS)
+    # simulate the pre-stats engine: strip file_stats from the commit
+    commit = lake.current_commit()
+    legacy_files = {p for fl in commit["files"].values() for p in fl}
+    commit.pop("file_stats", None)
+    commit["commit_seq"] += 1
+    lake._write_commit(commit)
+
+    upgraded = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    apply_batch(upgraded, _events_df(spark, events[40:80]), "new", params=PARAMS)
+    stats = upgraded.current_commit()["file_stats"]
+    for p in legacy_files:
+        assert stats[p] == [None, None, None, None]  # unprunable
+    # every key present only in the legacy files must still be found
+    state = upgraded.read().collect()
+    assert len(state) > 0
+    probe = state[0]
+    got = upgraded.lookup(probe.repo, probe.path).collect()
+    assert len(got) == 1 and got[0].content_sha256 == probe.content_sha256
+
+
 def test_time_travel_read(spark, tmp_path):
     """read(at=commit_seq) reproduces the state as of that commit —
     applying batch 2 must not change what commit 0 shows (Iceberg

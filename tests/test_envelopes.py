@@ -441,3 +441,40 @@ def test_multi_table_routing_exactly_once(spark, tmp_path):
     commits2, _ = route_batch(lakes, events, "b0", params=params, collect_metrics=False)
     assert commits2 == {"files": None, "docs": None, "other": None}
     assert lakes["files"].current_commit()["commit_seq"] == 0  # no new commit
+
+
+def test_sessionize_time_split_equivalence(spark):
+    """Property (the split_interval_s contract): when no same-key event
+    pair within gap_s straddles a bucket boundary, the skew-split path
+    produces EXACTLY the session numbering of the default path. Events
+    are generated in bucket interiors (>= gap_s away from boundaries)
+    so the precondition holds by construction; keys, in-bucket
+    clustering, and bucket occupancy are randomized with a fixed seed."""
+    import random
+
+    from chunker_spark.ops.sessions import sessionize
+
+    rng = random.Random(1234)
+    gap_s, split_s = 600, 86400
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for key in range(6):
+        for bucket in rng.sample(range(10), rng.randint(2, 6)):
+            t = bucket * split_s + rng.randint(gap_s, split_s // 3)
+            for _ in range(rng.randint(1, 12)):
+                rows.append(Row(user_id=key, ts=base + datetime.timedelta(seconds=t)))
+                # mix of in-session steps and > gap_s session breaks,
+                # capped so we never come within gap_s of the boundary
+                t += rng.choice([5, 30, gap_s + 1, 2 * gap_s])
+                if t > (bucket + 1) * split_s - gap_s - 1:
+                    break
+    df = spark.createDataFrame(rows)
+    plain = {
+        (r.user_id, r.ts): r.session_seq
+        for r in sessionize(df, gap_s=gap_s).collect()
+    }
+    split = {
+        (r.user_id, r.ts): r.session_seq
+        for r in sessionize(df, gap_s=gap_s, split_interval_s=split_s).collect()
+    }
+    assert split == plain and len(plain) == len(rows)

@@ -207,3 +207,45 @@ def test_polynomial_formatting_roundtrip():
     assert parse_bin("10") == 2
     assert parse_bin(f"{DEFAULT_POL:b}") == DEFAULT_POL
     assert expand(0) == "0"
+
+
+def test_native_seam_absent_and_injectable():
+    """The optional native-kernel seam: with no compiled provider (this
+    sandbox has no build toolchain) chunk_many runs the numpy path
+    unchanged; an injected provider satisfying the chunk_many_raw
+    contract is used and its (offset, length, cut) tuples surface as
+    Chunk lists. The scalar oracle doubles as a reference provider, so
+    the injected path's output must equal the numpy path's exactly."""
+    from chunker_spark.kernel import native
+    from chunker_spark.kernel.chunker import ChunkerParams, chunk_list
+    from chunker_spark.kernel.gorng import get_random
+    from chunker_spark.kernel.vectorized import chunk_many
+
+    params = ChunkerParams(average_bits=8, min_size=128, max_size=2048)
+    bufs = [bytes(get_random(seed, 5000 + seed * 700)) for seed in (1, 2, 3)] + [b"", b"tiny"]
+
+    assert native.provider() is None  # no chunker_native in this env
+    numpy_out = chunk_many(bufs, params)
+
+    class ScalarProvider:
+        calls = 0
+
+        @staticmethod
+        def chunk_many_raw(buffers, pol, average_bits, min_size, max_size):
+            ScalarProvider.calls += 1
+            p = ChunkerParams(
+                pol=pol, average_bits=average_bits, min_size=min_size, max_size=max_size
+            )
+            return [
+                [(c.offset, c.length, c.cut) for c in chunk_list(b, p)] for b in buffers
+            ]
+
+    native.set_provider(ScalarProvider)
+    try:
+        injected_out = chunk_many(bufs, params)
+    finally:
+        native.set_provider(None)
+    assert ScalarProvider.calls == 1
+    assert injected_out == numpy_out
+    # and clearing really restores the numpy path
+    assert chunk_many(bufs, params) == numpy_out

@@ -126,10 +126,13 @@ def test_embedding_dedup_has_no_cartesian_join(spark):
 
 def test_minhash_band_join_is_fixed_width_and_sig_reused(spark):
     """The banded candidate join partitions on (band, bkt) without the
-    64-long signature arrays; signatures come from one persisted
-    computation (InMemoryTableScan on banding + both verify sides).
-    Broadcast is disabled so the test sees the shuffle plan this join
-    gets at scale (at sf0.001 everything would broadcast)."""
+    64-long signature arrays; signatures come from ONE materialized
+    computation (eager localCheckpoint), so the candidate+verify plan
+    reads checkpointed rows (Scan ExistingRDD: banding + both verify
+    sides) and contains NO Python/Arrow stage at all — the UDF ran
+    exactly once, before the joins. Broadcast is disabled so the test
+    sees the shuffle plan this join gets at scale (at sf0.001
+    everything would broadcast)."""
     from chunker_spark.ops.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -146,7 +149,8 @@ def test_minhash_band_join_is_fixed_width_and_sig_reused(spark):
     ]
     assert band_exchanges, plan
     assert all("sig#" not in l for l in band_exchanges)
-    assert plan.count("InMemoryTableScan") >= 3  # banding + both verify joins
+    assert plan.count("Scan ExistingRDD") >= 3  # banding + both verify joins
+    assert "ArrowEvalPython" not in plan  # signature UDF ran once, pre-plan
 
 
 def test_salted_repartition_spreads_monorepo_keys(spark):
