@@ -17,8 +17,9 @@
                 kernel chunk manifests joined by content hash to
                 expected vectors precomputed by the independent scalar
                 kernel, and both wire envelopes — Debezium and Maxwell,
-                the latter across a binlog rotation). All 40 of 40
-                queries are value-checked.
+                the latter across a binlog rotation, the as-of join
+                vs DuckDB's native ASOF JOIN, HLL sketches via their
+                error contract). All 42 of 42 queries are value-checked.
 
 Numeric parity policy: aggregates compute in exact DECIMAL on both
 sides, then cast to double and round — distributed double summation is
@@ -1313,6 +1314,124 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_events_asof_click(spark, sf):
+    """Backward as-of join: every purchase matched to the SAME user's
+    latest click at-or-before the purchase instant (inner: purchases
+    with no prior click drop, the DuckDB ASOF JOIN default). Runs the
+    union+LOCF plan from ops.asof — one shuffle, linear, no non-equi
+    pair blowup — while the oracle is DuckDB's native ASOF JOIN, an
+    entirely different algorithm computing the same relation."""
+    from chunker_spark.ops.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    j = asof_join(purchases, clicks, on="user_id", how="inner")
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_r").alias("click_ts"),
+        F.col("click_event_id_r").alias("click_event_id"),
+        # events.ts is TIMESTAMP_NTZ (unix_micros wants TIMESTAMP);
+        # the cast difference is timezone-invariant
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_r").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+SQL_EVENTS_ASOF_CLICK = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT user_id, ts, event_id AS click_event_id FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS click_ts, r.click_event_id,
+       epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_events_value_tiers(spark, sf):
+    """Range (interval) join: events banded into value tiers via the
+    bucketized equi-join of ops.ranges — Catalyst would execute the
+    naive `v >= lo AND v < hi` predicate as a nested loop; the operator
+    explodes intervals to width-10 buckets and hash-joins instead. The
+    oracle IS that naive BETWEEN join (DuckDB runs it fine at this
+    scale), so the rewrite is value-checked against the direct
+    formulation it replaces."""
+    from chunker_spark.ops.ranges import range_join
+
+    ev = _t(spark, sf, "events").select("event_id", "value")
+    tiers = spark.createDataFrame(
+        [("t0", 0.0, 10.0), ("t1", 10.0, 50.0), ("t2", 50.0, 150.0), ("t3", 150.0, 500.0)],
+        "tier string, lo double, hi double",
+    )
+    j = range_join(ev, tiers, value_col="value", bucket_width=10.0)
+    return (
+        j.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,4)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .orderBy("tier")
+    )
+
+
+SQL_EVENTS_VALUE_TIERS = """
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('t0', 0.0, 10.0), ('t1', 10.0, 50.0), ('t2', 50.0, 150.0), ('t3', 150.0, 500.0)
+)
+SELECT t.tier,
+       count(*) AS n,
+       round(CAST(sum(CAST(e.value AS DECIMAL(20,4))) AS DOUBLE), 2) AS sum_value
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_user_approx_distinct(spark, sf):
+    """Sketch aggregation (HyperLogLog++): per-event-type approximate
+    distinct users next to the exact count, oracle-checked as an
+    INVARIANT — the sketch's value is implementation-specific, but its
+    documented error contract is not: within_tol must be true at rsd
+    0.02 against a 5% gate, and the exact column must match DuckDB's
+    count(distinct) bit-for-bit. At 100 TB the sketch is the only
+    viable distinct (fixed 2^p-byte state per group, map-side
+    combinable, no distinct shuffle)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        )
+        .select(
+            "event_type",
+            F.col("exact_users").cast("long").alias("exact_users"),
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_tol"),
+        )
+    )
+
+
+SQL_USER_APPROX_DISTINCT = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_tol
+FROM events
+GROUP BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1354,6 +1473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes": q_cdc_changes,
         "debezium_parse": q_debezium_parse,
         "maxwell_parse": q_maxwell_parse,
+        "events_asof_click": q_events_asof_click,
+        "events_value_tiers": q_events_value_tiers,
+        "user_approx_distinct": q_user_approx_distinct,
     }
 
 
@@ -1395,6 +1517,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changes": _sql_cdc_changes(),
         "debezium_parse": _sql_debezium_parse(),
         "maxwell_parse": _sql_maxwell_parse(),
+        "events_asof_click": SQL_EVENTS_ASOF_CLICK,
+        "events_value_tiers": SQL_EVENTS_VALUE_TIERS,
+        "user_approx_distinct": SQL_USER_APPROX_DISTINCT,
         "lang_id": _sql_lang_id(),
         "media_features": _sql_media_features(),
         "doc_manifest": _sql_doc_manifest(),

@@ -167,6 +167,11 @@ def main() -> None:
             checkpoint_dir=tempfile.mkdtemp(prefix="cdc-ckpt-", dir=base_tmp),
             params=SOURCE_PARAMS,
             max_files_per_trigger=per_trigger,
+            # throughput protocol measures the one-job-per-batch hot
+            # path; the metrics/lineage pipeline (extra per-batch
+            # actions incl. an O(touched-buckets) state read for
+            # chunk-reuse stats) is --metrics, measured separately
+            collect_metrics=args.metrics,
         )
         t0 = time.time()
         if args.trigger == "processing":

@@ -68,6 +68,7 @@ class IngestStream:
         expire_every: int | None = None,  # run commit expiry every N commits
         expire_keep_last: int = 8,  # retained time-travel window
         wire_format: str | None = None,  # None (typed parquet) | 'debezium' | 'maxwell'
+        collect_metrics: bool = True,
     ) -> None:
         self.spark = spark
         self.lake = lake
@@ -96,6 +97,13 @@ class IngestStream:
             # *batches* are still no-ops via the commit ledger
             raise ValueError("dedup_watermark requires the typed-parquet source")
         self.wire_format = wire_format
+        # metrics/lineage rows are the default (production observability)
+        # but cost extra Spark actions per batch — including a read of
+        # the touched buckets' CURRENT state for the chunk-reuse stats,
+        # which is O(touched table data), not O(batch). Throughput
+        # benches and bulk backfills turn this off to get the documented
+        # one-job-per-batch hot path (merge.apply_batch).
+        self.collect_metrics = collect_metrics
         self.batches_seen = 0
         #: per-batch wall seconds, appended by _handle_batch — the soak
         #: observability surface (latency-over-time without a metrics
@@ -131,9 +139,13 @@ class IngestStream:
                 dlq.coalesce(1).write.mode("overwrite").parquet(
                     f"{self.lake.root}/dlq/batch_id={batch_id}"
                 )
-        commit = apply_batch(self.lake, df, batch_id, params=self.params)
+        commit = apply_batch(
+            self.lake, df, batch_id, params=self.params,
+            collect_metrics=self.collect_metrics,
+        )
         if commit is not None:
-            _append_metrics(self.lake, commit, batch_id)
+            if self.collect_metrics:
+                _append_metrics(self.lake, commit, batch_id)
             if self.expire_every and (commit["commit_seq"] + 1) % self.expire_every == 0:
                 self.lake.expire_commits(keep_last=self.expire_keep_last)
         self.batches_seen += 1

@@ -1,0 +1,97 @@
+"""As-of (nearest-earlier) join — the time-series primitive Spark lacks.
+
+``asof_join(left, right)`` matches every left row to the LATEST right
+row of the same key whose timestamp is <= the left row's (backward
+as-of, inclusive), the join under every "state as of this moment"
+question: event ↔ most recent prior snapshot, trade ↔ last quote,
+purchase ↔ last click.
+
+Spark-first plan — union + last-observation-carried-forward, NOT a
+range join: the naive formulation (`l.ts >= r.ts` + per-key max) is a
+non-equi join Catalyst can only execute as a broadcast nested loop or
+cartesian-per-key — O(|L|·|R|) pair evaluations per key, a scale
+killer. Instead both sides are unioned with a side tag and processed by
+ONE window over (key) ordered by (ts, tag): ``last(right_payload,
+ignorenulls=True)`` carries the most recent right row forward onto each
+left row. Cost: one shuffle of |L|+|R| rows and one sort — the same
+shape as any windowed aggregate, linear in the data, no pair blowup.
+Right rows sort BEFORE left rows at equal timestamps (tag 0 < 1), which
+is what makes the match inclusive, and DuckDB's ``ASOF JOIN``
+(l.ts >= r.ts) is the value oracle for the whole construction.
+
+``tolerance_s`` bounds staleness: matches older than the tolerance are
+nulled out (pandas ``merge_asof(tolerance=...)`` parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_s: float | None = None,
+    suffix: str = "_r",
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join: latest right row with ``right_ts <=
+    left_ts`` per key.
+
+    Returns every left column, plus each of ``right_cols`` (default:
+    all non-key right columns) as ``<col><suffix>``, plus
+    ``<right_ts><suffix>`` (the matched row's timestamp; null when no
+    match). ``how='left'`` keeps unmatched left rows with nulls;
+    ``how='inner'`` drops them (DuckDB ``ASOF JOIN`` default).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys]
+    if right_ts not in right_cols:
+        right_cols = [right_ts, *right_cols]
+
+    payload = F.struct(*[F.col(c) for c in right_cols]).alias("_asof_payload")
+    r = right.select(
+        *keys, F.col(right_ts).alias("_asof_ts"), F.lit(0).alias("_asof_tag"), payload
+    )
+    l = left.select(
+        *left.columns,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_tag"),
+        F.lit(None).cast(r.schema["_asof_payload"].dataType).alias("_asof_payload"),
+    )
+    # align schemas: right side carries left's columns as nulls so the
+    # union is by-name; left columns other than the keys are never read
+    # from right rows
+    for c in left.columns:
+        if c not in keys and c not in ("_asof_ts", "_asof_tag", "_asof_payload"):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l.unionByName(r.select(*l.columns))
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_asof_ts", "_asof_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_asof_match", F.last("_asof_payload", ignorenulls=True).over(w))
+    out = carried.where(F.col("_asof_tag") == 1)
+
+    match = F.col("_asof_match")
+    if tolerance_s is not None:
+        stale = F.col("_asof_ts").cast("double") - match[right_ts].cast("double") > float(
+            tolerance_s
+        )
+        match = F.when(match.isNotNull() & ~stale, F.col("_asof_match"))
+        out = out.withColumn("_asof_match", match)
+    if how == "inner":
+        out = out.where(F.col("_asof_match").isNotNull())
+    proj = [*left.columns]
+    proj += [F.col("_asof_match")[c].alias(f"{c}{suffix}") for c in right_cols]
+    return out.select(*proj)

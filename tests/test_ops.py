@@ -433,3 +433,108 @@ def test_pair_ops_leave_no_cached_frames(spark):
     assert hash_sample(docs, frac=1.0).count() == 24
     splits = content_hash_split(docs, train_frac=1.0).select("split").distinct().collect()
     assert [r.split for r in splits] == ["train"]
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """The union+LOCF as-of join is value-equivalent to pandas
+    merge_asof (backward, inclusive) on randomized data — including the
+    tolerance knob (staleness-bounded matches) and left vs inner
+    semantics."""
+    import datetime
+
+    import pandas as pd
+
+    rng = __import__("random").Random(99)
+    base = datetime.datetime(2024, 5, 1)
+
+    def mk(n, id_prefix):
+        rows = []
+        for i in range(n):
+            rows.append(
+                {
+                    "k": rng.randint(0, 5),
+                    "ts": base + datetime.timedelta(seconds=rng.randint(0, 50_000)),
+                    "rid": f"{id_prefix}{i}",
+                }
+            )
+        df = pd.DataFrame(rows)
+        # merge_asof disallows duplicate (k, ts) meeting points ambiguity:
+        # drop dup key-times so both sides have a deterministic answer
+        return df.drop_duplicates(["k", "ts"]).reset_index(drop=True)
+
+    lpdf, rpdf = mk(300, "L"), mk(200, "R")
+    from chunker_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf.rename(columns={"rid": "rv"}))
+
+    for tol in (None, 3600):
+        got_df = asof_join(
+            left, right, on="k", tolerance_s=tol, how="left"
+        ).toPandas()
+        got = {
+            r.rid: (
+                None if pd.isna(r.rv_r) else r.rv_r,
+                None if pd.isna(r.ts_r) else r.ts_r,
+            )
+            for r in got_df.itertuples()
+        }
+        exp_pdf = pd.merge_asof(
+            lpdf.sort_values("ts"),
+            rpdf.rename(columns={"rid": "rv", "ts": "rts"}).sort_values("rts"),
+            left_on="ts",
+            right_on="rts",
+            by="k",
+            direction="backward",
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        )
+        exp = {
+            r.rid: (None if pd.isna(r.rv) else r.rv, None if pd.isna(r.rts) else r.rts.to_pydatetime())
+            for r in exp_pdf.itertuples()
+        }
+        norm = lambda d: {k: (v[0], v[1] if v[1] is None else pd.Timestamp(v[1])) for k, v in d.items()}
+        assert norm(got) == norm(exp), f"tol={tol}"
+
+    # inner drops unmatched left rows, keeps everything else identical
+    inner = asof_join(left, right, on="k", how="inner").toPandas()
+    left_j = asof_join(left, right, on="k", how="left").toPandas()
+    assert len(inner) == left_j["rv_r"].notna().sum()
+
+
+def test_range_join_matches_brute_force(spark):
+    """The bucketized range join equals the direct non-equi join on
+    randomized overlapping intervals — for every bucket_width (widths
+    only trade index size vs candidate count, never correctness) — and
+    'left' keeps exactly the unmatched points with null interval
+    columns."""
+    rng = __import__("random").Random(5)
+    pts = [(i, round(rng.uniform(-5, 105), 3)) for i in range(400)]
+    ivs = []
+    for i in range(40):
+        lo = round(rng.uniform(-10, 100), 3)
+        ivs.append((f"iv{i}", lo, round(lo + rng.uniform(0.1, 30), 3)))
+    points = spark.createDataFrame(pts, "pid long, value double")
+    intervals = spark.createDataFrame(ivs, "name string, lo double, hi double")
+
+    from chunker_spark.ops.ranges import range_join
+
+    brute = {
+        (p, n)
+        for (p, v) in pts
+        for (n, lo, hi) in ivs
+        if lo <= v < hi
+    }
+    for width in (0.5, 7.0, 200.0):
+        got = {
+            (r.pid, r.name)
+            for r in range_join(
+                points, intervals, "value", bucket_width=width
+            ).collect()
+        }
+        assert got == brute, f"width={width}"
+
+    left = range_join(points, intervals, "value", bucket_width=7.0, how="left").collect()
+    matched_pids = {p for (p, _n) in brute}
+    null_rows = {r.pid for r in left if r.name is None}
+    assert null_rows == {p for (p, _v) in pts} - matched_pids
+    assert {(r.pid, r.name) for r in left if r.name is not None} == brute

@@ -244,3 +244,16 @@ def test_cdf_payload_joined_back_only_for_changed_keys(spark, tmp_path):
     # the FullOuter join itself must not reference the content column
     join_lines = [l for l in plan.splitlines() if "FullOuter" in l]
     assert join_lines and all("content" not in l for l in join_lines)
+
+
+def test_asof_join_is_linear_no_pair_blowup(spark):
+    """The as-of join must plan as union -> ONE hash Exchange -> sort ->
+    window — never a non-equi nested-loop/cartesian (the O(|L|x|R|)
+    trap a range-predicate formulation falls into)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_events_asof_click(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Exchange") == 1, plan
