@@ -19,7 +19,7 @@
                 kernel, and both wire envelopes — Debezium and Maxwell,
                 the latter across a binlog rotation, the as-of join
                 vs DuckDB's native ASOF JOIN, HLL sketches via their
-                error contract). All 42 of 42 queries are value-checked.
+                error contract). All 43 of 43 queries are value-checked.
 
 Numeric parity policy: aggregates compute in exact DECIMAL on both
 sides, then cast to double and round — distributed double summation is
@@ -1432,6 +1432,41 @@ GROUP BY event_type
 """
 
 
+def q_events_type_pivot(spark, sf):
+    """PIVOT: per-user-cohort event counts spread across one column per
+    event type (the wide-format reporting op). Spark's relational pivot
+    plans as a single two-phase hash aggregate over (cohort) with
+    pivot-value projection — one shuffle, map-side combined; the oracle
+    restates it as conditional aggregation, which is also exactly what
+    the pivot compiles to, so the equivalence is the correctness
+    contract for the pivot path itself."""
+    ev = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.withColumn("cohort", (F.col("user_id") % 10).cast("int"))
+        .groupBy("cohort")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "cohort",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+        )
+        .orderBy("cohort")
+    )
+
+
+SQL_EVENTS_TYPE_PIVOT = """
+SELECT CAST(user_id % 10 AS INTEGER) AS cohort,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1475,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxwell_parse": q_maxwell_parse,
         "events_asof_click": q_events_asof_click,
         "events_value_tiers": q_events_value_tiers,
+        "events_type_pivot": q_events_type_pivot,
         "user_approx_distinct": q_user_approx_distinct,
     }
 
@@ -1519,6 +1555,7 @@ def oracle_sql() -> dict[str, str]:
         "maxwell_parse": _sql_maxwell_parse(),
         "events_asof_click": SQL_EVENTS_ASOF_CLICK,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,
+        "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
         "user_approx_distinct": SQL_USER_APPROX_DISTINCT,
         "lang_id": _sql_lang_id(),
         "media_features": _sql_media_features(),

@@ -176,7 +176,23 @@ def apply_batch(
             touched = sorted(per_bucket)
             upserts = batch.where(F.col("op") != "D")
             deletes = batch.where(F.col("op") == "D").select(*KEY_COLS)
-            stats = _batch_stats(upserts, deletes, lake.read(buckets=touched))
+            # chunk-reuse lineage compares only against prior versions
+            # of THIS batch's keys, so prune the old-state read to them
+            # BEFORE resolution: a broadcast semi-join on the key set
+            # keeps the metrics path O(batch keys' history) instead of
+            # O(touched buckets' full table data) — without it the
+            # lineage stats re-scan and re-resolve ever more table per
+            # batch as buckets fill (measured ~85s/1.6M events extra at
+            # local[1] on an un-pruned read; see BENCH/BASELINE.md r3)
+            from .lake import resolve_state
+
+            batch_keys = batch.select(*KEY_COLS).distinct()
+            old_state = resolve_state(
+                lake.read_files(buckets=touched).join(
+                    F.broadcast(batch_keys), list(KEY_COLS), "left_semi"
+                )
+            )
+            stats = _batch_stats(upserts, deletes, old_state)
             stats["keys_per_bucket"] = {str(b): n for b, n in per_bucket.items()}
             stats["lww_strategy"] = "broadcast" if use_broadcast else "shuffle"
             commit = lake.append_delta(delta, touched, str(batch_id), stats=stats)

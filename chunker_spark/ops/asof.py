@@ -85,9 +85,11 @@ def asof_join(
 
     match = F.col("_asof_match")
     if tolerance_s is not None:
-        stale = F.col("_asof_ts").cast("double") - match[right_ts].cast("double") > float(
-            tolerance_s
-        )
+        # via TIMESTAMP: a TIMESTAMP_NTZ column casts to timestamp but
+        # not directly to double under ANSI; the difference is
+        # timezone-invariant either way
+        as_s = lambda c: c.cast("timestamp").cast("double")
+        stale = as_s(F.col("_asof_ts")) - as_s(match[right_ts]) > float(tolerance_s)
         match = F.when(match.isNotNull() & ~stale, F.col("_asof_match"))
         out = out.withColumn("_asof_match", match)
     if how == "inner":

@@ -478,3 +478,52 @@ def test_sessionize_time_split_equivalence(spark):
         for r in sessionize(df, gap_s=gap_s, split_interval_s=split_s).collect()
     }
     assert split == plain and len(plain) == len(rows)
+
+
+def test_streaming_maxwell_wire_ingest(spark, tmp_path):
+    """The Maxwell wire path end-to-end through IngestStream: JSON-lines
+    envelopes spanning a binlog rotation -> per-batch parse with packed
+    seq -> DLQ split -> exactly-once MERGE. The file-8 update must win
+    LWW over the larger raw file-7 offsets, and redelivery must no-op."""
+    import json as _json
+
+    from chunker_spark.cdc import LakeTable
+    from chunker_spark.cdc.streaming import IngestStream
+    from chunker_spark.kernel import ChunkerParams
+
+    def mx(op, pos, path, content=None):
+        data = {"repo": "r", "path": path}
+        if content is not None:
+            data["content"] = content
+            data["commit"] = pos
+        return _json.dumps({"type": op, "ts": 1700000000,
+                            "position": pos, "table": "files", "data": data})
+
+    log_dir = tmp_path / "mx-log"
+    log_dir.mkdir()
+    (log_dir / "seg-0.jsonl").write_text("\n".join([
+        mx("insert", "mysql-bin.000007:90000", "a.go", "file7-a\n"),
+        mx("insert", "mysql-bin.000007:90100", "b.go", "file7-b\n"),
+        "corrupt {{{",
+    ]) + "\n")
+    (log_dir / "seg-1.jsonl").write_text("\n".join([
+        # rotation: smaller raw offsets, must still win
+        mx("update", "mysql-bin.000008:120", "a.go", "file8-a\n"),
+        mx("delete", "mysql-bin.000008:150", "b.go"),
+    ]) + "\n")
+
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    params = ChunkerParams(average_bits=6, min_size=64, max_size=256)
+
+    def run():
+        IngestStream(spark, lake, str(log_dir), str(tmp_path / "ckpt"),
+                     params=params, wire_format="maxwell").run_available()
+
+    run()
+    state = {r.path: r.content for r in lake.read().collect()}
+    assert state == {"a.go": "file8-a\n"}  # rotation-ordered LWW; b.go deleted
+    assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
+    n = len(lake.committed_batch_ids())
+    run()  # redelivery: complete no-op
+    assert len(lake.committed_batch_ids()) == n
+    assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
