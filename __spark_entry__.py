@@ -19,7 +19,7 @@
                 kernel, and both wire envelopes — Debezium and Maxwell,
                 the latter across a binlog rotation, the as-of join
                 vs DuckDB's native ASOF JOIN, HLL sketches via their
-                error contract). All 43 of 43 queries are value-checked.
+                error contract). All 45 of 45 queries are value-checked.
 
 Numeric parity policy: aggregates compute in exact DECIMAL on both
 sides, then cast to double and round — distributed double summation is
@@ -1467,6 +1467,71 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_events_moving_avg(spark, sf):
+    """Rolling window aggregate: per-user 5-row trailing mean of the
+    event value, ordered by time — the sliding-window frame
+    (rowsBetween) surface, distinct from the tumbling/session windows
+    already covered. One shuffle (partitionBy user); the frame itself
+    is a streaming-buffer computation inside the sorted partition.
+    Decimal-exact mean, rounded, to dodge float summation order."""
+    ev = _t(spark, sf, "events").where(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(
+            F.avg(F.col("value").cast("decimal(20,4)")).over(w).cast("double"), 4
+        ).alias("avg5_value"),
+    )
+
+
+SQL_EVENTS_MOVING_AVG = """
+SELECT event_id, user_id, ts,
+       round(CAST(avg(CAST(value AS DECIMAL(20,4))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS avg5_value
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_order_cube(spark, sf):
+    """CUBE aggregation: order counts/totals over every combination of
+    (orderstatus, orderpriority) including both marginals and the grand
+    total — one Expand + single two-phase hash aggregate, the same plan
+    family as ROLLUP but with the full 2^k grouping-set lattice."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double"), 2
+            ).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+SQL_ORDER_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1511,6 +1576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_click": q_events_asof_click,
         "events_value_tiers": q_events_value_tiers,
         "events_type_pivot": q_events_type_pivot,
+        "events_moving_avg": q_events_moving_avg,
+        "order_cube": q_order_cube,
         "user_approx_distinct": q_user_approx_distinct,
     }
 
@@ -1556,6 +1623,8 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_click": SQL_EVENTS_ASOF_CLICK,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,
         "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
+        "events_moving_avg": SQL_EVENTS_MOVING_AVG,
+        "order_cube": SQL_ORDER_CUBE,
         "user_approx_distinct": SQL_USER_APPROX_DISTINCT,
         "lang_id": _sql_lang_id(),
         "media_features": _sql_media_features(),

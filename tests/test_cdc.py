@@ -564,3 +564,150 @@ def test_vacuum_orphans_removes_crash_debris_only(spark, tmp_path):
              lake.read().select("repo", "path", "content_sha256").collect()}
     assert after == before  # committed data untouched
     assert lake.vacuum_orphans()["removed_dirs"] == []  # idempotent
+
+
+def test_cdf_incrementally_maintains_downstream_aggregate(spark, tmp_path):
+    """The change feed is sufficient to MAINTAIN a downstream aggregate
+    without recomputation — the core CDF consumption pattern. A keyed
+    consumer (its state holds each key's last contribution, the standard
+    postimage-feed design) applies changes(since, until) per commit
+    interval to per-repo (row count, content bytes) totals; after every
+    commit the maintained totals must equal a full recompute from the
+    resolved table — including through deletes, re-creates, and the
+    compaction that commits trigger."""
+    events = list(gen_events_local(SPEC, 240))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4, compact_threshold=3)
+
+    state = {}  # (repo, path) -> (repo, bytes)
+    totals = {}  # repo -> [rows, bytes]
+
+    def apply_changes(df):
+        for r in df.collect():
+            key = (r.repo, r.path)
+            if key in state:  # retract the previous contribution
+                repo0, b0 = state.pop(key)
+                totals[repo0][0] -= 1
+                totals[repo0][1] -= b0
+                if totals[repo0] == [0, 0]:
+                    del totals[repo0]
+            if r._change_type != "delete":
+                nb = len(r.content.encode()) if r.content is not None else 0
+                state[key] = (r.repo, nb)
+                totals.setdefault(r.repo, [0, 0])
+                totals[r.repo][0] += 1
+                totals[r.repo][1] += nb
+
+    prev_commit = -1
+    for i, lo in enumerate(range(0, 240, 60)):
+        apply_batch(lake, _events_df(spark, events[lo : lo + 60]), f"cdf{i}", params=PARAMS)
+        cur = lake.current_commit()["commit_seq"]
+        apply_changes(
+            lake.changes(since=prev_commit, until=cur)
+            if prev_commit >= 0
+            else lake.read_files().sparkSession.createDataFrame([], lake.read_files().schema)
+        )
+        if prev_commit < 0:  # first interval: everything is an insert
+            first = lake.read().withColumn("_change_type", F.lit("insert"))
+            apply_changes(first)
+        prev_commit = cur
+
+        full = {
+            r.repo: [r.n, r.b]
+            for r in lake.read()
+            .groupBy("repo")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length(F.col("content").cast("binary"))).alias("b"),
+            )
+            .collect()
+        }
+        assert {k: list(v) for k, v in totals.items()} == full, f"commit {cur}"
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream event-time interval join: purchases joined to the
+    same user's clicks within the preceding 10 minutes, both sides
+    watermarked (the watermark + time-range constraint is what lets
+    Spark BOUND the join state and evict old rows — an unconstrained
+    stream-stream join would buffer both streams forever). The
+    streaming result over the whole log must equal the identical batch
+    join — the standard streaming≡batch contract."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 6, 1)
+    rng = __import__("random").Random(11)
+    clicks, purchases = [], []
+    for i in range(300):
+        u = rng.randint(0, 20)
+        t = base + datetime.timedelta(seconds=rng.randint(0, 7200))
+        clicks.append({"user_id": u, "click_id": i, "cts": t})
+    for i in range(120):
+        u = rng.randint(0, 20)
+        t = base + datetime.timedelta(seconds=rng.randint(0, 7200))
+        purchases.append({"user_id": u, "purchase_id": i, "pts": t})
+
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purchases"
+    for rows, d, ts in ((clicks, cdir, "cts"), (purchases, pdir, "pts")):
+        d.mkdir()
+        id_col = "click_id" if ts == "cts" else "purchase_id"
+        # two segment files per side: multiple micro-batches.
+        # Explicit us-precision UTC-adjusted schema: pandas defaults to
+        # ns INT64 (unreadable as Spark timestamp), and withWatermark
+        # demands the LTZ timestamp type.
+        for half in (0, 1):
+            part = rows[half::2]
+            tbl = pa.table(
+                {
+                    "user_id": pa.array([r["user_id"] for r in part], pa.int64()),
+                    id_col: pa.array([r[id_col] for r in part], pa.int64()),
+                    ts: pa.array([r[ts] for r in part], pa.timestamp("us", tz="UTC")),
+                }
+            )
+            pq.write_table(tbl, str(d / f"seg-{half}.parquet"))
+
+    schema_c = "user_id long, click_id long, cts timestamp"
+    schema_p = "user_id long, purchase_id long, pts timestamp"
+    cs = spark.readStream.schema(schema_c).parquet(str(cdir)).withWatermark("cts", "1 minute")
+    ps = spark.readStream.schema(schema_p).parquet(str(pdir)).withWatermark("pts", "1 minute")
+    joined = ps.join(
+        cs,
+        F.expr(
+            "ps.user_id = cs.user_id AND cts BETWEEN pts - INTERVAL 10 MINUTES AND pts"
+        ) if False else (
+            (ps.user_id == cs.user_id)
+            & (cs.cts >= ps.pts - F.expr("INTERVAL 10 MINUTES"))
+            & (cs.cts <= ps.pts)
+        ),
+        "inner",
+    ).select("purchase_id", "click_id")
+
+    got_rows = []
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, _bid: got_rows.extend((r.purchase_id, r.click_id) for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    cb = spark.createDataFrame(pd.DataFrame(clicks), schema_c)
+    pb = spark.createDataFrame(pd.DataFrame(purchases), schema_p)
+    exp = {
+        (r.purchase_id, r.click_id)
+        for r in pb.join(
+            cb,
+            (pb.user_id == cb.user_id)
+            & (cb.cts >= pb.pts - F.expr("INTERVAL 10 MINUTES"))
+            & (cb.cts <= pb.pts),
+            "inner",
+        )
+        .select("purchase_id", "click_id")
+        .collect()
+    }
+    assert exp and set(got_rows) == exp and len(got_rows) == len(exp)
