@@ -19,7 +19,7 @@
                 kernel, and both wire envelopes — Debezium and Maxwell,
                 the latter across a binlog rotation, the as-of join
                 vs DuckDB's native ASOF JOIN, HLL sketches via their
-                error contract). All 45 of 45 queries are value-checked.
+                error contract). All 46 of 46 queries are value-checked.
 
 Numeric parity policy: aggregates compute in exact DECIMAL on both
 sides, then cast to double and round — distributed double summation is
@@ -1532,6 +1532,45 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_lineitem_unpivot(spark, sf):
+    """UNPIVOT (melt): the four lineitem measures rotated into
+    (measure, value) long format, then aggregated per measure — the
+    inverse of the pivot query. Spark plans unpivot as a single Expand
+    (each input row fans out to one row per measure) feeding one
+    two-phase hash aggregate — no shuffle of the wide table, no join.
+    The oracle restates it as a UNION ALL of per-measure aggregates."""
+    li = _t(spark, sf, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,4)")).cast("double"), 2
+            ).alias("total"),
+        )
+        .orderBy("measure")
+    )
+
+
+SQL_LINEITEM_UNPIVOT = """
+WITH long AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT measure, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 2) AS total
+FROM long GROUP BY measure ORDER BY measure
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1578,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_pivot": q_events_type_pivot,
         "events_moving_avg": q_events_moving_avg,
         "order_cube": q_order_cube,
+        "lineitem_unpivot": q_lineitem_unpivot,
         "user_approx_distinct": q_user_approx_distinct,
     }
 
@@ -1625,6 +1665,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
         "events_moving_avg": SQL_EVENTS_MOVING_AVG,
         "order_cube": SQL_ORDER_CUBE,
+        "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,
         "user_approx_distinct": SQL_USER_APPROX_DISTINCT,
         "lang_id": _sql_lang_id(),
         "media_features": _sql_media_features(),
