@@ -187,9 +187,16 @@ def apply_batch(
             from .lake import resolve_state
 
             batch_keys = batch.select(*KEY_COLS).distinct()
+            # gate the broadcast on the SAME cardinality decision the
+            # LWW stage made: a >threshold-key batch already chose the
+            # shuffle path precisely because its key set cannot safely
+            # transit the driver — broadcasting it here would reopen
+            # that exact blowup. Shuffle semi-join in that regime.
+            if use_broadcast:
+                batch_keys = F.broadcast(batch_keys)
             old_state = resolve_state(
                 lake.read_files(buckets=touched).join(
-                    F.broadcast(batch_keys), list(KEY_COLS), "left_semi"
+                    batch_keys, list(KEY_COLS), "left_semi"
                 )
             )
             stats = _batch_stats(upserts, deletes, old_state)

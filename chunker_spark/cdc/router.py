@@ -44,8 +44,10 @@ def route_batch(
     # isEmpty probe + the apply), and a wire-parsed batch would re-run
     # its from_json parse T+1 times per micro-batch. localCheckpoint
     # materializes the parsed rows up front; truncating lineage also
-    # keeps per-table plans flat. Cleaned up before returning — the
-    # unrouted remainder is materialized too so it stays valid.
+    # keeps per-table plans flat. Lifecycle: the checkpoint blocks back
+    # the returned `unrouted` frame too, so nothing here may release
+    # them — they are reclaimed by the ContextCleaner once the caller
+    # drops the returned frames.
     events = events.localCheckpoint(eager=True)
     commits: dict[str, dict | None] = {}
     for name, lake in lakes.items():

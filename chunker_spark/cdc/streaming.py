@@ -104,6 +104,22 @@ class IngestStream:
         # benches and bulk backfills turn this off to get the documented
         # one-job-per-batch hot path (merge.apply_batch).
         self.collect_metrics = collect_metrics
+        # DLQ scope: Spark restarts micro-batch ids at 0 for every new
+        # checkpoint, so keying DLQ dirs by batch id alone would let a
+        # later stream GENERATION (fresh checkpoint, same lake)
+        # overwrite an earlier one's captured payloads. A stable id
+        # derived from the checkpoint path scopes each generation's DLQ
+        # subtree; within one generation, redelivery of a batch is an
+        # idempotent overwrite of its own directory. (Lakes with
+        # pre-run-scoping FLAT files directly under <lake>/dlq must
+        # move them into a subdirectory before mixing formats — parquet
+        # partition discovery rejects flat files next to partition
+        # dirs.)
+        import hashlib
+
+        self.ingest_run_id = hashlib.sha1(
+            os.path.abspath(checkpoint_dir).encode()
+        ).hexdigest()[:12]
         self.batches_seen = 0
         #: per-batch wall seconds, appended by _handle_batch — the soak
         #: observability surface (latency-over-time without a metrics
@@ -137,7 +153,8 @@ class IngestStream:
                 # that crash window — redelivery was a ledger no-op, so
                 # the gated append never re-ran.
                 dlq.coalesce(1).write.mode("overwrite").parquet(
-                    f"{self.lake.root}/dlq/batch_id={batch_id}"
+                    f"{self.lake.root}/dlq/ingest_run={self.ingest_run_id}"
+                    f"/batch_id={batch_id}"
                 )
         commit = apply_batch(
             self.lake, df, batch_id, params=self.params,

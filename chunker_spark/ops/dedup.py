@@ -115,7 +115,11 @@ def minhash_lsh_pairs(
     # call in a long-lived session, and this function returns a lazy
     # frame so it cannot unpersist itself. Checkpoint blocks are
     # reclaimed by the ContextCleaner once the result is unreferenced.
-    # (At 100 TB you would checkpoint signatures to a real table.)
+    # Known trade: localCheckpoint truncates lineage, so losing an
+    # executor between checkpoint and the joins fails the query instead
+    # of recomputing one partition — acceptable for interactive pair
+    # queries; a long-lived 100 TB pipeline should checkpoint
+    # signatures to a real table (reliable storage) instead.
     sig = df.select(
         F.col(id_col).alias("id"), minhash_udf(num_hashes, shingle_k)(F.col(text_col)).alias("sig")
     ).localCheckpoint(eager=True)

@@ -55,13 +55,15 @@ def range_join(
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
 
     w = float(bucket_width)
-    # interval -> every bucket it overlaps: floor(lo/w) .. floor up to
-    # hi exclusive (hi exactly on a bucket edge contributes nothing to
-    # that bucket — half-open semantics)
+    # interval -> every bucket it overlaps: floor(lo/w) .. floor(hi/w).
+    # The top bucket is intentionally NOT trimmed when hi sits exactly
+    # on a bucket edge (where the half-open interval contributes
+    # nothing): any epsilon-based trim can under-shoot when float noise
+    # puts hi a hair above the edge and silently DROP a true match,
+    # while the untrimmed bucket only adds a false candidate that the
+    # exact range filter below removes. Correctness over one index row.
     lo_b = F.floor(F.col(lo_col) / w).cast("long")
-    hi_b = F.floor(
-        (F.col(hi_col) - F.lit(1e-12)) / w  # hi is exclusive
-    ).cast("long")
+    hi_b = F.floor(F.col(hi_col) / w).cast("long")
     idx = intervals.withColumn("_rj_bucket", F.explode(F.sequence(lo_b, F.greatest(hi_b, lo_b))))
     pts = points.withColumn("_rj_bucket", F.floor(F.col(value_col) / w).cast("long"))
 
@@ -76,7 +78,14 @@ def range_join(
     matched = pts.join(idx, join_keys, "inner").where(exact).drop("_rj_bucket")
     ivl_cols = [c for c in intervals.columns if c not in keys]
     hit_keys = matched.select(*points.columns).distinct()
-    missed = points.join(hit_keys, points.columns, "left_anti").select(
+    # NULL-SAFE anti-join: a matched point row carrying a NULL in any
+    # column would survive a plain anti-join (NULL = NULL is NULL, not
+    # true) and be re-emitted as unmatched — duplicating it
+    anti_cond = None
+    for c in points.columns:
+        eq = points[c].eqNullSafe(hit_keys[c])
+        anti_cond = eq if anti_cond is None else (anti_cond & eq)
+    missed = points.join(hit_keys, anti_cond, "left_anti").select(
         *points.columns,
         *[F.lit(None).cast(intervals.schema[c].dataType).alias(c) for c in ivl_cols],
     )

@@ -527,3 +527,38 @@ def test_streaming_maxwell_wire_ingest(spark, tmp_path):
     run()  # redelivery: complete no-op
     assert len(lake.committed_batch_ids()) == n
     assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
+
+
+def test_dlq_survives_new_stream_generation(spark, tmp_path):
+    """Spark restarts batch ids at 0 for every new checkpoint, so DLQ
+    directories are scoped per ingest GENERATION (derived from the
+    checkpoint path): a later run against the same lake with a fresh
+    checkpoint must not overwrite an earlier run's captured payloads,
+    while redelivery WITHIN a generation stays an idempotent overwrite."""
+    from chunker_spark.cdc import LakeTable
+    from chunker_spark.cdc.streaming import IngestStream
+    from chunker_spark.kernel import ChunkerParams
+
+    params = ChunkerParams(average_bits=6, min_size=64, max_size=256)
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+
+    log1 = tmp_path / "log1"
+    log1.mkdir()
+    (log1 / "seg-0.jsonl").write_text(
+        _dbz("c", 1, path="a.py", content="v1\n") + "\nbroken-one {{{\n"
+    )
+    IngestStream(spark, lake, str(log1), str(tmp_path / "ckpt1"),
+                 params=params, wire_format="debezium").run_available()
+    assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
+
+    # new generation: fresh checkpoint, batch ids restart at 0
+    log2 = tmp_path / "log2"
+    log2.mkdir()
+    (log2 / "seg-0.jsonl").write_text(
+        _dbz("c", 2, path="b.py", content="v2\n") + "\nbroken-two {{{\n"
+    )
+    IngestStream(spark, lake, str(log2), str(tmp_path / "ckpt2"),
+                 params=params, wire_format="debezium").run_available()
+    dlq = spark.read.parquet(f"{lake.root}/dlq")
+    assert dlq.count() == 2  # generation 1's payload NOT clobbered
+    assert dlq.select("ingest_run").distinct().count() == 2

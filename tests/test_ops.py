@@ -538,3 +538,28 @@ def test_range_join_matches_brute_force(spark):
     null_rows = {r.pid for r in left if r.name is None}
     assert null_rows == {p for (p, _v) in pts} - matched_pids
     assert {(r.pid, r.name) for r in left if r.name is not None} == brute
+
+    # float-noise edge: an interval whose hi lands one ulp ABOVE a
+    # bucket boundary must still match a point sitting exactly on that
+    # boundary — an epsilon-trimmed top bucket drops it
+    import math
+
+    hi_noise = math.nextafter(3.0, 4.0)
+    eps_pts = spark.createDataFrame([(0, 3.0)], "pid long, value double")
+    eps_ivs = spark.createDataFrame([("e", 0.0, hi_noise)], "name string, lo double, hi double")
+    assert [r.name for r in range_join(eps_pts, eps_ivs, "value", bucket_width=1.0).collect()] == ["e"]
+
+    # NULL point columns must not duplicate matched rows in 'left'
+    # (null-unsafe anti-join would re-emit them as unmatched)
+    npts = spark.createDataFrame([(0, 5.0, None), (1, 999.0, "x")],
+                                 "pid long, value double, note string")
+    nout = range_join(npts, intervals, "value", bucket_width=7.0, how="left").collect()
+    expected0 = {n for (n, lo, hi) in ivs if lo <= 5.0 < hi}
+    row0 = [r for r in nout if r.pid == 0]
+    if expected0:
+        # matched exactly once per enclosing interval; NOT also
+        # re-emitted as an unmatched null row despite the NULL column
+        assert {r.name for r in row0} == expected0 and len(row0) == len(expected0)
+    else:
+        assert [r.name for r in row0] == [None]
+    assert [r.name for r in nout if r.pid == 1] == [None]  # out of range -> single null row
