@@ -579,9 +579,16 @@ def q_doc_manifest(spark, sf):
     boundary's rolling-hash fingerprint, and the EOF-rule final length
     are all value-checked against a second implementation, mirroring
     the reference's expected-vector tests (package.d:444-481)."""
-    from chunker_spark.functions.manifest import with_manifest
+    from chunker_spark.functions.manifest import (
+        manifest_expected_fixture_path,
+        with_manifest,
+    )
     from chunker_spark.kernel import ChunkerParams
 
+    # Self-check: make sure the expected-vector fixture covers THIS
+    # corpus (extends itself if the sf dir is new), so the oracle's
+    # content-hash join can never silently shrink.
+    manifest_expected_fixture_path(extra_dirs=(sf,))
     d = _t(spark, sf, "documents")
     params = ChunkerParams(average_bits=9, min_size=128, max_size=4096)
     m = with_manifest(d, content_col="text", params=params)

@@ -126,10 +126,27 @@ def content_sha256(content_col: str = "content") -> Column:
     return F.sha2(F.col(content_col).cast("binary"), 256)
 
 
+def _testdata_sf_dirs(root: str = "/root/testdata") -> tuple[str, ...]:
+    """Every generated scale-factor directory that carries a documents
+    corpus — discovered, not hard-coded, so a new sf dir (the driver
+    gates at sf0.01 today but may run sf0.1) is covered automatically."""
+    import glob
+    import os
+
+    return tuple(
+        sorted(
+            d
+            for d in glob.glob(f"{root}/sf*")
+            if os.path.exists(f"{d}/documents.parquet")
+        )
+    )
+
+
 def manifest_expected_fixture_path(
     base: str = "/tmp/chunker_spark_fixtures",
-    sf_dirs: tuple[str, ...] = ("/root/testdata/sf0.001", "/root/testdata/sf0.01"),
+    sf_dirs: tuple[str, ...] | None = None,
     params: ChunkerParams | None = None,
+    extra_dirs: tuple[str, ...] = (),
 ) -> str:
     """Generation-time expected manifest summaries for the ``documents``
     corpora, computed by the SCALAR boundary oracle (kernel/chunker.py
@@ -146,6 +163,15 @@ def manifest_expected_fixture_path(
     manifest UDF — any boundary, EOF-rule, or fingerprint divergence
     between the two kernels breaks the hash compare. pyarrow-written
     (atomic os.replace) so oracle_sql() needs no SparkSession.
+
+    Coverage self-check: ``sf_dirs`` defaults to every
+    ``/root/testdata/sf*`` documents corpus (plus ``extra_dirs`` from
+    the caller's own sf_dir).  An existing fixture is re-validated on
+    every call — each requested corpus is digest-scanned (sha256 only,
+    no chunking) and any content missing from the fixture triggers an
+    incremental extend-and-rewrite.  A corpus the fixture doesn't cover
+    therefore repairs itself instead of silently shrinking the oracle's
+    side of the content-hash join.
     """
     import os
 
@@ -156,13 +182,29 @@ def manifest_expected_fixture_path(
 
     if params is None:
         params = ChunkerParams(average_bits=9, min_size=128, max_size=4096)
+    if sf_dirs is None:
+        sf_dirs = _testdata_sf_dirs()
+    dirs = tuple(dict.fromkeys((*sf_dirs, *extra_dirs)))
     path = f"{base}/manifest_expected_v1.parquet"
-    if os.path.exists(path):
-        return path
 
     seen: dict[str, tuple[int, int, int | None, int | None]] = {}
-    for sf_dir in sf_dirs:
-        table = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    if os.path.exists(path):
+        prior = pq.read_table(path)
+        for digest, size, n, fc, ll in zip(
+            prior.column("content_sha256").to_pylist(),
+            prior.column("size").to_pylist(),
+            prior.column("n_chunks").to_pylist(),
+            prior.column("first_cut").to_pylist(),
+            prior.column("last_len").to_pylist(),
+        ):
+            seen[digest] = (size, n, fc, ll)
+
+    added = 0
+    for sf_dir in dirs:
+        doc_path = f"{sf_dir}/documents.parquet"
+        if not os.path.exists(doc_path):
+            continue
+        table = pq.read_table(doc_path, columns=["text"])
         for text in table.column("text").to_pylist():
             if text is None:
                 continue
@@ -177,6 +219,10 @@ def manifest_expected_fixture_path(
                 chunks[0].cut if chunks else None,
                 chunks[-1].length if chunks else None,
             )
+            added += 1
+
+    if os.path.exists(path) and added == 0:
+        return path
 
     digests = sorted(seen)
     out = pa.table(

@@ -107,4 +107,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
 if __name__ == "__main__":
     import sys
 
-    raise SystemExit(main(only=sys.argv[1:] or None))
+    argv = sys.argv[1:]
+    if argv and "/" in argv[0]:
+        raise SystemExit(main(sf_dir=argv[0], only=argv[1:] or None))
+    raise SystemExit(main(only=argv or None))

@@ -59,3 +59,45 @@ def test_chunk_store_refcounts(spark, files):
     assert total_refs == total_chunks
     # identical contents → every chunk has refcount 2
     assert all(r["refcount"] == 2 for r in rows)
+
+
+def test_expected_fixture_coverage_self_repair(tmp_path):
+    """The expected-vector fixture extends itself when asked to cover a
+    corpus it has never seen (VERDICT r3 item 1): build it over corpus A
+    only, then request coverage of corpus B via extra_dirs and assert
+    B's digests appear — the oracle's content-hash join can't shrink."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chunker_spark.functions.manifest import manifest_expected_fixture_path
+
+    def corpus(name, texts):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(pa.table({"text": pa.array(texts, pa.string())}),
+                       str(d / "documents.parquet"))
+        return str(d)
+
+    a = corpus("sfA", ["alpha " * 50, "beta " * 80, None])
+    b = corpus("sfB", ["gamma " * 120, "alpha " * 50])  # one overlap, one new
+    base = str(tmp_path / "fix")
+
+    p1 = manifest_expected_fixture_path(base=base, sf_dirs=(a,))
+    n1 = pq.read_table(p1).num_rows
+    assert n1 == 2  # two distinct non-null contents in A
+
+    # second call with an uncovered corpus extends in place
+    p2 = manifest_expected_fixture_path(base=base, sf_dirs=(a,), extra_dirs=(b,))
+    assert p2 == p1
+    t2 = pq.read_table(p2)
+    assert t2.num_rows == 3  # + gamma only (alpha dedups by content hash)
+
+    digs = set(t2.column("content_sha256").to_pylist())
+    for text in ["alpha " * 50, "beta " * 80, "gamma " * 120]:
+        assert hashlib.sha256(text.encode()).hexdigest() in digs
+
+    # idempotent: covered corpora trigger no rewrite
+    import os
+    mtime = os.stat(p2).st_mtime_ns
+    manifest_expected_fixture_path(base=base, sf_dirs=(a,), extra_dirs=(b,))
+    assert os.stat(p2).st_mtime_ns == mtime
