@@ -69,6 +69,10 @@ class IngestStream:
         expire_keep_last: int = 8,  # retained time-travel window
         wire_format: str | None = None,  # None (typed parquet) | 'debezium' | 'maxwell'
         collect_metrics: bool = True,
+        source: str = "files",  # 'files' (dir tail) | 'kafka' (topic; needs connector jar)
+        kafka_bootstrap_servers: str | None = None,
+        kafka_topic: str | None = None,
+        kafka_options: dict | None = None,  # kafka_reader_options kwargs passthrough
     ) -> None:
         self.spark = spark
         self.lake = lake
@@ -97,6 +101,25 @@ class IngestStream:
             # *batches* are still no-ops via the commit ledger
             raise ValueError("dedup_watermark requires the typed-parquet source")
         self.wire_format = wire_format
+        if source not in ("files", "kafka"):
+            raise ValueError(f"unknown source {source!r}")
+        if source == "kafka":
+            # a Kafka topic carries wire envelopes, never typed parquet
+            # rows, and the file-source batch knobs don't apply (use
+            # kafka_options={'max_offsets_per_trigger': N})
+            if not wire_format:
+                raise ValueError("source='kafka' requires wire_format ('debezium'|'maxwell')")
+            if max_files_per_trigger or max_bytes_per_trigger:
+                raise ValueError(
+                    "max_files/bytes_per_trigger are file-source knobs; "
+                    "use kafka_options={'max_offsets_per_trigger': N}"
+                )
+            if not (kafka_bootstrap_servers and kafka_topic):
+                raise ValueError("source='kafka' requires kafka_bootstrap_servers and kafka_topic")
+        self.source = source
+        self.kafka_bootstrap_servers = kafka_bootstrap_servers
+        self.kafka_topic = kafka_topic
+        self.kafka_options = dict(kafka_options or {})
         # metrics/lineage rows are the default (production observability)
         # but cost extra Spark actions per batch — including a read of
         # the touched buckets' CURRENT state for the chunk-reuse stats,
@@ -174,6 +197,23 @@ class IngestStream:
 
     def _build_stream(self):
         os.makedirs(self.checkpoint_dir, exist_ok=True)
+        if self.source == "kafka":
+            # production transport: topic offsets ride the same
+            # checkpoint WAL, the value column is projected to the exact
+            # shape the file source yields, so _handle_batch (parse, DLQ
+            # split, merge) is source-agnostic. Raises without the
+            # connector jar — see cdc/source_kafka.py.
+            from .source_kafka import build_kafka_stream
+
+            stream = build_kafka_stream(
+                self.spark,
+                self.kafka_bootstrap_servers,
+                self.kafka_topic,
+                **self.kafka_options,
+            )
+            return stream.writeStream.foreachBatch(self._handle_batch).option(
+                "checkpointLocation", self.checkpoint_dir
+            )
         if self.wire_format:
             # raw bus dump: JSON-lines text files, one envelope per line
             # (the shape a Kafka-connect file sink / log shipper writes);
