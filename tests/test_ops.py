@@ -563,3 +563,59 @@ def test_range_join_matches_brute_force(spark):
     else:
         assert [r.name for r in row0] == [None]
     assert [r.name for r in nout if r.pid == 1] == [None]  # out of range -> single null row
+
+
+def test_minhash_hot_bucket_cap(spark, caplog):
+    """An adversarial mega-bucket (60 byte-identical docs → every band
+    collides) is dropped under max_bucket with a logged count, bounding
+    the self-join, while a planted near-dup pair in sub-cap buckets
+    still surfaces (VERDICT r3 item 3)."""
+    import logging
+
+    base = ("many words that repeat across this synthetic corpus forming one "
+            "degenerate lsh bucket when texts are byte identical everywhere")
+    pair_a = ("an entirely distinct document about stream processing engines "
+              "and their checkpointing semantics under failure and replay")
+    pair_b = pair_a.replace("failure", "crashes")
+    rows = [(i, base) for i in range(60)]
+    rows += [(100, pair_a), (101, pair_b)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with caplog.at_level(logging.WARNING, logger="chunker_spark.ops.dedup"):
+        capped = minhash_lsh_pairs(df, num_hashes=32, bands=8, threshold=0.5,
+                                   max_bucket=10).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (100, 101) in got                      # planted pair survives the cap
+    assert not any(a < 60 and b < 60 for a, b in got)  # mega-bucket pairs dropped
+    assert any("hot bucket" in m for m in caplog.messages)  # never silent
+
+    # defaults unchanged: no cap → the identical docs all pair up
+    full = minhash_lsh_pairs(df, num_hashes=32, bands=8, threshold=0.5).collect()
+    fullset = {(r["id_a"], r["id_b"]) for r in full}
+    assert (100, 101) in fullset
+    assert sum(1 for a, b in fullset if a < 60 and b < 60) == 60 * 59 // 2
+
+
+def test_minhash_shingle_k_contract():
+    """k > 8 no longer silently degrades to a weak OR-fold hash — the
+    uint64 pack contract is explicit (VERDICT r3 item 6)."""
+    from chunker_spark.ops.dedup import _shingle_hashes, minhash_udf
+
+    with pytest.raises(ValueError, match="k <= 8"):
+        minhash_udf(shingle_k=12)
+
+    # k = 8 packs losslessly: single-character edits anywhere in the
+    # window always change the shingle hash set
+    import numpy as np
+
+    a = _shingle_hashes("abcdefghij" * 4, 8)
+    b = _shingle_hashes("abcdefgzij" * 4, 8)
+    assert not np.array_equal(a, b)
+    # random corpus collision sanity at k=8: all shingles distinct
+    import random
+
+    rnd = random.Random(11)
+    text = "".join(rnd.choice("abcdefghijklmnop") for _ in range(5000))
+    h = _shingle_hashes(text, 8)
+    distinct_shingles = len({text[i:i + 8] for i in range(len(text) - 7)})
+    assert len(h) == distinct_shingles  # zero 64-bit collisions expected
