@@ -175,9 +175,14 @@ def main() -> None:
         )
         t0 = time.time()
         if args.trigger == "processing":
-            stream.run_processing_time(
+            run_info = stream.run_processing_time(
                 interval="200 milliseconds", min_batches=args.batches, idle_for_s=1.5
             )
+            if not run_info["drained"]:
+                # deadline undershoot: fewer batches than requested ran —
+                # surface it instead of reporting a silently-truncated rate
+                print(json.dumps({"warning": "deadline before drain", **run_info}),
+                      file=sys.stderr)
         else:
             stream.run_available()
     else:
@@ -239,7 +244,9 @@ def main() -> None:
             result["trigger"] = args.trigger
             result["batch_latency_p50"] = lat[len(lat) // 2]
             result["batch_latency_p95"] = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
-            result["batch_latencies"] = stream.batch_latencies
+            result["batch_latencies"] = list(stream.batch_latencies)
+        if args.trigger == "processing":
+            result["drained"] = run_info["drained"]
     print(json.dumps(result))
     spark.stop()
     if not args.out:

@@ -146,8 +146,15 @@ class IngestStream:
         self.batches_seen = 0
         #: per-batch wall seconds, appended by _handle_batch — the soak
         #: observability surface (latency-over-time without a metrics
-        #: scrape); bounded by the run's batch count, driver-side only
-        self.batch_latencies: list[float] = []
+        #: scrape). Bounded (deque maxlen): a run-forever deployment at
+        #: sub-second triggers would otherwise leak driver memory a few
+        #: floats per batch for months; 10k batches of history is ample
+        #: for soak analysis and p50/p99 windows.
+        import collections
+
+        self.batch_latencies: "collections.deque[float]" = collections.deque(
+            maxlen=10_000
+        )
 
     def _handle_batch(self, df, batch_id: int) -> None:
         import time as _time
@@ -164,21 +171,35 @@ class IngestStream:
             # so malformed payloads are persisted next to the lake.
             from .envelopes import parse_debezium, parse_maxwell, split_malformed
 
+            from pyspark.sql import Observation, functions as F
+
             parser = parse_debezium if self.wire_format == "debezium" else parse_maxwell
             df, dlq = split_malformed(df, parser=parser)
-            dlq = dlq.localCheckpoint(eager=True)  # split once; reuse for count+write
-            if dlq.count():
-                # DLQ lands BEFORE the lake commit, in a per-batch
-                # directory with idempotent overwrite: a crash between
-                # the two writes is healed by re-delivery (the lake
-                # commit no-ops but this overwrite re-runs). The old
-                # append-after-commit order lost the payloads forever in
-                # that crash window — redelivery was a ledger no-op, so
-                # the gated append never re-ran.
-                dlq.coalesce(1).write.mode("overwrite").parquet(
-                    f"{self.lake.root}/dlq/ingest_run={self.ingest_run_id}"
-                    f"/batch_id={batch_id}"
-                )
+            # DLQ lands BEFORE the lake commit, in a per-batch
+            # directory with idempotent overwrite: a crash between
+            # the two writes is healed by re-delivery (the lake
+            # commit no-ops but this overwrite re-runs). The old
+            # append-after-commit order lost the payloads forever in
+            # that crash window — redelivery was a ledger no-op, so
+            # the gated append never re-ran.
+            #
+            # ONE job on the wire hot path (was checkpoint + count +
+            # conditional write): the row count rides the write itself
+            # via an Observation, and a clean batch's empty directory
+            # is removed afterwards driver-side — no Spark action —
+            # so the dlq subtree never accumulates per-batch clutter.
+            obs = Observation()
+            dlq_dir = (
+                f"{self.lake.root}/dlq/ingest_run={self.ingest_run_id}"
+                f"/batch_id={batch_id}"
+            )
+            dlq.observe(obs, F.count(F.lit(1)).alias("n")).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(dlq_dir)
+            if not obs.get["n"]:
+                import shutil
+
+                shutil.rmtree(dlq_dir, ignore_errors=True)
         commit = apply_batch(
             self.lake, df, batch_id, params=self.params,
             collect_metrics=self.collect_metrics,
@@ -258,7 +279,7 @@ class IngestStream:
         min_batches: int | None = None,
         idle_for_s: float = 2.0,
         max_runtime_s: float = 600.0,
-    ) -> None:
+    ) -> dict:
         """Long-lived tail on a processing-time trigger: the query keeps
         firing as new segments land, with the SAME checkpoint/ledger
         exactly-once story as AvailableNow (the two modes share one
@@ -272,6 +293,12 @@ class IngestStream:
         ``max_runtime_s=inf`` and stops via orchestration.
         ``max_runtime_s`` bounds the wait; an exception raised inside a
         micro-batch (including the injected-crash test hook) propagates.
+
+        Returns ``{"drained": bool, "batches": int}`` so a deadline
+        undershoot is detectable: ``drained=False`` means
+        ``max_runtime_s`` expired before the drain/min_batches condition
+        held — callers (soak benches) must check it rather than assume
+        the requested batches ran.
         """
         import math
         import time
@@ -279,6 +306,7 @@ class IngestStream:
         query = self._build_stream().trigger(processingTime=interval).start()
         deadline = time.time() + (max_runtime_s if not math.isinf(max_runtime_s) else 1e18)
         idle_since: float | None = None
+        drained = False
         try:
             while True:
                 if query.exception() is not None:
@@ -290,8 +318,9 @@ class IngestStream:
                     idle_since = None
                 else:
                     idle_since = idle_since if idle_since is not None else now
-                    drained = now - idle_since >= idle_for_s
-                    if drained and (min_batches is None or self.batches_seen >= min_batches):
+                    idle = now - idle_since >= idle_for_s
+                    if idle and (min_batches is None or self.batches_seen >= min_batches):
+                        drained = True
                         break
                 if now >= deadline:
                     break
@@ -299,6 +328,7 @@ class IngestStream:
         finally:
             query.stop()
         query.awaitTermination()
+        return {"drained": drained, "batches": self.batches_seen}
 
 
 def windowed_event_metrics(events, window: str = "1 minute", watermark: str = "10 minutes"):

@@ -170,9 +170,10 @@ def test_continuous_trigger_soak(spark, tmp_path):
         spark, lake, seg_dir, str(tmp_path / "ckpt"), params=small,
         max_files_per_trigger=1, expire_every=10, expire_keep_last=4,
     )
-    stream.run_processing_time(
+    run = stream.run_processing_time(
         interval="100 milliseconds", min_batches=50, idle_for_s=1.5, max_runtime_s=480
     )
+    assert run["drained"] and run["batches"] >= 50  # deadline undershoot is detectable
     assert stream.batches_seen >= 50
 
     # bounded growth: commit JSONs stay small, expiry caps the meta dir,
@@ -711,3 +712,27 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
         .collect()
     }
     assert exp and set(got_rows) == exp and len(got_rows) == len(exp)
+
+
+def test_processing_time_deadline_undershoot_detectable(spark, tmp_path):
+    """ADVICE r3: a max_runtime_s expiry before min_batches is met
+    returns drained=False instead of a silent normal return."""
+    from chunker_spark.cdc.events import GenSpec, write_segments
+    from chunker_spark.cdc.lake import LakeTable
+    from chunker_spark.cdc.streaming import IngestStream
+    from chunker_spark.kernel import ChunkerParams
+
+    spec = GenSpec(seed=5, n_keys=8, mean_blocks=2)
+    seg_dir = str(tmp_path / "segs")
+    write_segments(spark, spec, 40, seg_dir, n_segments=2)
+    small = ChunkerParams(average_bits=6, min_size=64, max_size=512)
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    stream = IngestStream(
+        spark, lake, seg_dir, str(tmp_path / "ckpt"), params=small,
+        max_files_per_trigger=1, collect_metrics=False,
+    )
+    run = stream.run_processing_time(
+        interval="100 milliseconds", min_batches=999, idle_for_s=1.0, max_runtime_s=8
+    )
+    assert run["drained"] is False
+    assert run["batches"] == stream.batches_seen < 999

@@ -432,6 +432,9 @@ def test_multi_table_routing_exactly_once(spark, tmp_path):
         lakes, events, "b0", params=params, collect_metrics=False
     )
     assert commits["files"] is not None and commits["docs"] is not None
+    # single-pass accounting rides along: per-table routed row counts
+    assert commits["files"]["routed_rows"] == 2
+    assert commits["docs"]["routed_rows"] == 1
     assert {r.path for r in unrouted.collect()} == {"m.txt"}
     assert {r.path: r.content for r in lakes["files"].read().collect()} == {"a.py": "fa2\n"}
     assert {r.path: r.content for r in lakes["docs"].read().collect()} == {"d.md": "dd\n"}
