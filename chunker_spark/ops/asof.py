@@ -56,6 +56,24 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in keys]
     if right_ts not in right_cols:
         right_cols = [right_ts, *right_cols]
+    # name-collision validation (ADVICE r3): the union construction
+    # reserves _asof_* working columns, and each right column lands as
+    # <col><suffix> next to the left columns — silent collisions would
+    # surface much later as ambiguous-reference errors (or worse, a
+    # wrong column silently read). Fail here with the offending names.
+    reserved = {"_asof_ts", "_asof_tag", "_asof_payload", "_asof_match"}
+    bad = reserved & set(left.columns)
+    if bad:
+        raise ValueError(f"asof_join: left columns {sorted(bad)} collide with reserved _asof_* names")
+    out_names = [f"{c}{suffix}" for c in right_cols]
+    clash = set(out_names) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: output column(s) {sorted(clash)} already exist on the left "
+            f"side — pass a different suffix (suffix={suffix!r}) or prune right_cols"
+        )
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(f"asof_join: duplicate output names in right_cols with suffix={suffix!r}")
 
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("_asof_payload")
     r = right.select(

@@ -15,7 +15,10 @@ the exact range filter. Cost: |I|·(avg interval width / bucket_width)
 index rows, one hash join, no pair blowup — the standard binning scheme
 (cf. interval trees flattened for a distributed hash join). Pick
 ``bucket_width`` near the typical interval width: too small multiplies
-index rows, too large multiplies false candidates; both stay correct.
+index rows, too large multiplies false candidates; both stay correct up
+to the in-plan guard — an interval spanning more than
+``MAX_BUCKETS_PER_INTERVAL`` buckets fails fast with a message naming
+the knob (ADVICE r3: sequence() would otherwise die opaquely mid-job).
 
 Intervals are half-open ``[lo, hi)`` so adjacent bands never
 double-match a boundary point.
@@ -24,6 +27,14 @@ double-match a boundary point.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+#: hard cap on buckets per exploded interval: beyond this the index-row
+#: blowup is a misconfiguration (bucket_width orders of magnitude below
+#: the widest interval), and far beyond it Spark's sequence() own array
+#: limit kills the job with an opaque error mid-stage. Checked IN-PLAN
+#: (assert_true fused into the sequence bound, so Catalyst cannot prune
+#: it) to fail fast with an actionable message naming the knob.
+MAX_BUCKETS_PER_INTERVAL = 10_000
 
 
 def range_join(
@@ -64,7 +75,26 @@ def range_join(
     # exact range filter below removes. Correctness over one index row.
     lo_b = F.floor(F.col(lo_col) / w).cast("long")
     hi_b = F.floor(F.col(hi_col) / w).cast("long")
-    idx = intervals.withColumn("_rj_bucket", F.explode(F.sequence(lo_b, F.greatest(hi_b, lo_b))))
+    # per-interval bucket-count guard (ADVICE r3): a single interval
+    # spanning more than MAX_BUCKETS_PER_INTERVAL buckets means
+    # bucket_width is catastrophically small for this data — fail with
+    # the fix in the message rather than exploding 10^6 index rows per
+    # interval (or hitting sequence()'s own opaque array limit). The
+    # assert rides the sequence's lower bound so it cannot be pruned.
+    n_b = F.greatest(hi_b, lo_b) - lo_b + F.lit(1)
+    guard = F.assert_true(
+        n_b <= F.lit(MAX_BUCKETS_PER_INTERVAL),
+        F.concat(
+            F.lit("range_join: an interval spans "),
+            n_b.cast("string"),
+            F.lit(f" buckets (> {MAX_BUCKETS_PER_INTERVAL}); increase bucket_width "),
+            F.lit(f"(currently {w!r}) toward the typical interval width"),
+        ),
+    )
+    lo_checked = lo_b + F.coalesce(guard.cast("long"), F.lit(0))
+    idx = intervals.withColumn(
+        "_rj_bucket", F.explode(F.sequence(lo_checked, F.greatest(hi_b, lo_b)))
+    )
     pts = points.withColumn("_rj_bucket", F.floor(F.col(value_col) / w).cast("long"))
 
     join_keys = [*keys, "_rj_bucket"]

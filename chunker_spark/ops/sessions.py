@@ -27,6 +27,7 @@ def sessionize(
     gap_s: int = 1800,
     session_col: str = "session_seq",
     split_interval_s: int | None = None,
+    warn_skew_above: int | None = None,
 ) -> DataFrame:
     """Add a per-key session sequence number (0-based, ordered by time).
 
@@ -46,8 +47,37 @@ def sessionize(
     boundary, i.e. every same-key event pair straddling a boundary is
     more than ``gap_s`` apart (pick split_interval_s >> typical session
     span, e.g. 1 day vs a 30-minute gap; a boundary-straddling session
-    is counted once per bucket it touches).
+    is counted once per bucket it touches). Null handling matches the
+    unsplit path: null-ts and null-key rows are kept (null-safe joins),
+    sorting first within their key exactly as the window's null-first
+    order does.
+
+    ``warn_skew_above`` (opt-in; costs one count aggregate at call
+    time) logs a warning naming the hottest keys whose event counts
+    exceed the threshold while ``split_interval_s`` is unset — the
+    observability hook for discovering bot-scale keys BEFORE one
+    serialized window sort becomes the straggler. Default None: no
+    extra action, plan unchanged.
     """
+    if warn_skew_above is not None and split_interval_s is None:
+        import logging
+
+        hot = (
+            df.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > int(warn_skew_above))
+            .orderBy(F.desc("_n"))
+            .limit(5)
+            .collect()
+        )
+        if hot:
+            logging.getLogger(__name__).warning(
+                "sessionize: %d key(s) exceed %d events (top: %s) and "
+                "split_interval_s is unset — their window sorts serialize in "
+                "one task each; consider split_interval_s >> gap_s",
+                len(hot), warn_skew_above,
+                [(r[key_col], r["_n"]) for r in hot],
+            )
     if split_interval_s is None:
         w_order = Window.partitionBy(key_col).orderBy(ts_col)
         prev_ts = F.lag(ts_col).over(w_order)
@@ -79,11 +109,21 @@ def sessionize(
     w_bkts = Window.partitionBy(key_col).orderBy("_bkt")
     offsets = counts.withColumn(
         "_offset", F.sum("_n_sessions").over(w_bkts) - F.col("_n_sessions")
-    ).select(key_col, "_bkt", "_offset")
+    ).select(F.col(key_col).alias("_off_key"), F.col("_bkt").alias("_off_bkt"), "_offset")
+    # NULL-SAFE join (ADVICE r3): a null ts yields a null _bkt (and the
+    # key itself may be null) — a plain equi-join would silently drop
+    # those rows, while the unsplit path keeps them (window partitioning
+    # groups nulls; null ts sorts first, lag null starts a session).
+    # eqNullSafe restores parity: the null bucket sorts FIRST in the
+    # offsets window, matching the unsplit path's null-first order.
     return (
-        local.join(offsets, [key_col, "_bkt"])
+        local.join(
+            offsets,
+            F.col(key_col).eqNullSafe(F.col("_off_key"))
+            & F.col("_bkt").eqNullSafe(F.col("_off_bkt")),
+        )
         .withColumn(session_col, (F.col("_offset") + F.col("_local_seq")).cast("long"))
-        .drop("_bkt", "_local_seq", "_offset")
+        .drop("_bkt", "_local_seq", "_offset", "_off_key", "_off_bkt")
     )
 
 

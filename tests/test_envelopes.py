@@ -565,3 +565,49 @@ def test_dlq_survives_new_stream_generation(spark, tmp_path):
     dlq = spark.read.parquet(f"{lake.root}/dlq")
     assert dlq.count() == 2  # generation 1's payload NOT clobbered
     assert dlq.select("ingest_run").distinct().count() == 2
+
+
+def test_sessionize_split_keeps_null_rows(spark):
+    """ADVICE r3: null-ts (and null-key) rows must survive the
+    split_interval_s path and get the same session numbers as the
+    default path (where nulls sort first within their key)."""
+    from chunker_spark.ops.sessions import sessionize
+
+    rows = [
+        ("u1", None, 1),          # null ts: sorts first, starts session 0
+        ("u1", "2024-01-01 00:00:00", 2),
+        ("u1", "2024-01-01 02:00:00", 3),   # > gap → new session
+        (None, "2024-01-01 00:00:00", 4),   # null key: its own group
+        (None, "2024-01-01 03:00:00", 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string, ev int").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    plain = sessionize(df, gap_s=1800)
+    split = sessionize(df, gap_s=1800, split_interval_s=86400 * 365)
+    p = {r["ev"]: r["session_seq"] for r in plain.collect()}
+    s = {r["ev"]: r["session_seq"] for r in split.collect()}
+    assert len(s) == 5  # nothing dropped
+    assert s == p
+
+
+def test_sessionize_skew_warning(spark, caplog):
+    """Opt-in skew advice: a key above the threshold is named in a
+    warning when split_interval_s is unset; defaults stay silent."""
+    import logging
+
+    from chunker_spark.ops.sessions import sessionize
+
+    rows = [("hot", f"2024-01-01 00:{m:02d}:00") for m in range(50)]
+    rows += [("cold", "2024-01-01 00:00:00")]
+    df = spark.createDataFrame(rows, "user_id string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    with caplog.at_level(logging.WARNING, logger="chunker_spark.ops.sessions"):
+        sessionize(df, gap_s=1800, warn_skew_above=10).collect()
+    assert any("hot" in m and "split_interval_s" in m for m in caplog.messages)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="chunker_spark.ops.sessions"):
+        sessionize(df, gap_s=1800).collect()  # default: no action, no warning
+    assert not caplog.messages

@@ -619,3 +619,44 @@ def test_minhash_shingle_k_contract():
     h = _shingle_hashes(text, 8)
     distinct_shingles = len({text[i:i + 8] for i in range(len(text) - 7)})
     assert len(h) == distinct_shingles  # zero 64-bit collisions expected
+
+
+def test_range_join_wide_interval_guard(spark):
+    """ADVICE r3: an interval spanning more buckets than the in-plan cap
+    fails fast with a message naming bucket_width, instead of Spark's
+    opaque sequence() error (or a 10^6-row index explosion)."""
+    from chunker_spark.ops.ranges import range_join
+
+    pts = spark.createDataFrame([(5.0,)], "v double")
+    ok = spark.createDataFrame([(0.0, 9999.0, "t")], "lo double, hi double, tier string")
+    too_wide = spark.createDataFrame([(0.0, 2e7, "t")], "lo double, hi double, tier string")
+
+    # at the edge: 10000 buckets passes
+    assert range_join(pts, ok, "v", bucket_width=1.0).count() == 1
+    with pytest.raises(Exception, match="increase bucket_width"):
+        range_join(pts, too_wide, "v", bucket_width=1.0).count()
+    # same data is fine with a sane width
+    assert range_join(pts, too_wide, "v", bucket_width=1e5).count() == 1
+
+
+def test_asof_join_name_collision_validation(spark):
+    """ADVICE r3: reserved _asof_* left columns and suffix collisions
+    raise immediately with the offending names, not as a late ambiguity
+    error."""
+    from chunker_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame([(1, "2024-01-01 00:00:05", 9.0)],
+                                 "k int, ts string, price double")
+    right = spark.createDataFrame([(1, "2024-01-01 00:00:01", 8.0)],
+                                  "k int, ts string, price double")
+    left = left.withColumn("ts", F.col("ts").cast("timestamp"))
+    right = right.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    with pytest.raises(ValueError, match="_asof_"):
+        asof_join(left.withColumn("_asof_tag", F.lit(1)), right, on="k")
+    with pytest.raises(ValueError, match="suffix"):
+        # right's price lands as price_r; collide it deliberately
+        asof_join(left.withColumn("price_r", F.lit(0.0)), right, on="k")
+    # clean call still works and matches backward-inclusive semantics
+    row = asof_join(left, right, on="k").first()
+    assert row["price_r"] == 8.0
