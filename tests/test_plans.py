@@ -257,3 +257,15 @@ def test_asof_join_is_linear_no_pair_blowup(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_range_join_no_nested_loop(spark):
+    """The bucketed range join must plan as an EQUI-join (hash or
+    sort-merge on the bucket key) + exact filter — never the
+    BroadcastNestedLoopJoin/cartesian Catalyst produces for a raw
+    lo <= v < hi predicate."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_events_value_tiers(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
