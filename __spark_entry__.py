@@ -19,7 +19,7 @@
                 kernel, and both wire envelopes — Debezium and Maxwell,
                 the latter across a binlog rotation, the as-of join
                 vs DuckDB's native ASOF JOIN, HLL sketches via their
-                error contract). All 46 of 46 queries are value-checked.
+                error contract). All 48 of 48 queries are value-checked.
 
 Numeric parity policy: aggregates compute in exact DECIMAL on both
 sides, then cast to double and round — distributed double summation is
@@ -1578,6 +1578,92 @@ FROM long GROUP BY measure ORDER BY measure
 """
 
 
+def q_doc_contamination(spark, sf):
+    """Benchmark decontamination (ops/decontaminate.py): distinct word
+    5-gram overlap of every document against an eval set — here the
+    texts of doc_id < 10 from the same corpus, so those ten documents
+    are fully contaminated by construction and every other row's
+    fraction measures real shared phrasing. The benchmark gram set is
+    broadcast (eval sets are MBs, corpora are TBs); doc grams join
+    map-side, only (doc_id, count) rows shuffle. Oracle: the identical
+    relational computation in DuckDB list SQL."""
+    from chunker_spark.ops.decontaminate import ngram_contamination
+
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") < 10).select("text")
+    return ngram_contamination(d, bench, n=5).orderBy("doc_id")
+
+
+_DECON_GRAMS = (
+    "list_transform(range(1, greatest(len(ws) - 4, 0) + 1), "
+    "i -> array_to_string(ws[i:i+4], ' '))"
+)
+
+SQL_DOC_CONTAMINATION = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ws
+  FROM documents
+),
+dg AS (SELECT doc_id, list_distinct({_DECON_GRAMS}) AS grams FROM w),
+bg AS (
+  SELECT DISTINCT gram
+  FROM (SELECT unnest({_DECON_GRAMS}) AS gram FROM w WHERE doc_id < 10)
+),
+per AS (SELECT doc_id, unnest(grams) AS gram FROM dg),
+m AS (
+  SELECT per.doc_id, count(*) AS n_contaminated
+  FROM per JOIN bg USING (gram) GROUP BY per.doc_id
+)
+SELECT dg.doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(m.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(coalesce(m.n_contaminated, 0) / greatest(len(grams), 1), 6) AS contamination
+FROM dg LEFT JOIN m USING (doc_id)
+"""
+
+
+def q_doc_repetition(spark, sf):
+    """Gopher-style repetition quality signals (functions/text.py):
+    duplicate word-2-gram occurrence fraction and duplicate-line
+    fraction per document — the filters that catch boilerplate and
+    looping generations before training. Pure JVM array expressions
+    (no shuffle at all: map-only over the scan)."""
+    from chunker_spark.functions.text import dup_line_fraction, dup_ngram_fraction
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        dup_ngram_fraction("text", 2).alias("dup_2gram_frac"),
+        dup_line_fraction("text").alias("dup_line_frac"),
+    )
+
+
+SQL_DOC_REPETITION = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS ws,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                        i -> array_to_string(ws[i:i+1], ' ')) AS g2,
+         ls
+  FROM base
+)
+SELECT doc_id,
+       CASE WHEN len(g2) > 0
+            THEN round(1.0 - len(list_distinct(g2)) / len(g2), 6)
+            ELSE 0.0 END AS dup_2gram_frac,
+       CASE WHEN len(ls) > 0
+            THEN round(1.0 - len(list_distinct(ls)) / len(ls), 6)
+            ELSE 0.0 END AS dup_line_frac
+FROM g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1626,6 +1712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_cube": q_order_cube,
         "lineitem_unpivot": q_lineitem_unpivot,
         "user_approx_distinct": q_user_approx_distinct,
+        "doc_contamination": q_doc_contamination,
+        "doc_repetition": q_doc_repetition,
     }
 
 
@@ -1677,4 +1765,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "media_features": _sql_media_features(),
         "doc_manifest": _sql_doc_manifest(),
+        "doc_contamination": SQL_DOC_CONTAMINATION,
+        "doc_repetition": SQL_DOC_REPETITION,
     }

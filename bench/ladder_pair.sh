@@ -1,0 +1,40 @@
+#!/bin/bash
+# One tight (N, 4N) scaling pair with per-run CPU-steal accounting.
+#
+# The host is a shared-tenancy microVM: identical runs vary up to 6x
+# with zero guest-side load, and /proc/stat's steal counter is the only
+# guest-visible signal. Each run therefore records the steal share of
+# its own wall-clock window; pairs measured under heavy steal are
+# reported but excluded from the publishable medians (BENCH/BASELINE.md
+# host-noise protocol).
+#
+# Usage: bench/ladder_pair.sh <segments_dir> <events> <out_jsonl>
+set -u
+SEG=$1; EVENTS=$2; OUT=$3
+
+steal_pct() {  # args: pre-line post-line -> steal% of total delta
+  python3 - "$1" "$2" <<'EOF'
+import sys
+pre = [int(x) for x in sys.argv[1].split()[1:]]
+post = [int(x) for x in sys.argv[2].split()[1:]]
+d = [b - a for a, b in zip(pre, post)]
+tot = sum(d)
+print(round(100.0 * d[7] / tot, 2) if tot else 0.0)
+EOF
+}
+
+for P in 1 4; do
+  PRE=$(grep '^cpu ' /proc/stat)
+  LINE=$(python bench/run_ingest.py --segments "$SEG" --events "$EVENTS" \
+      --mean-kb 4 --batches 1 --parallelism $P --seed 42 --tmpfs \
+      --skip-verify 2>/dev/null | tail -1)
+  POST=$(grep '^cpu ' /proc/stat)
+  S=$(steal_pct "$PRE" "$POST")
+  echo "$LINE" | python3 -c "
+import json, sys
+d = json.loads(sys.stdin.read())
+print(json.dumps({'p': d['parallelism'], 'ev_s': d['value'],
+                  'elapsed': d['elapsed_sec'], 'steal_pct': $S,
+                  'sha': d['state_sha256'][:12]}))" >> "$OUT"
+done
+tail -2 "$OUT"

@@ -111,3 +111,35 @@ def language_id_udf():
         return best
 
     return _lang
+
+
+# ---- repetition filters (Gopher-style quality signals) --------------
+
+
+def dup_line_fraction(col: str | Column) -> Column:
+    """Fraction of non-empty lines that are duplicates of an earlier
+    line (Gopher repetition filter, line granularity): 1 − distinct/total,
+    0.0 for empty/lineless docs. Pure JVM array expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+    n = F.size(lines)
+    return F.when(
+        n > 0, F.round(F.lit(1.0) - F.size(F.array_distinct(lines)) / n, 6)
+    ).otherwise(F.lit(0.0)).cast("double")
+
+
+def dup_ngram_fraction(col: str | Column, n: int = 2) -> Column:
+    """Fraction of word n-gram OCCURRENCES that repeat an earlier
+    occurrence: 1 − distinct/total over order-sensitive word n-grams
+    (Gopher's duplicate-n-gram family; the line filter is blind to
+    single-line boilerplate, this isn't). 0.0 when fewer than n words."""
+    from ..ops.decontaminate import word_ngrams
+
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.filter(F.split(F.lower(c), r"\W+"), lambda x: x != "")
+    grams = word_ngrams(words, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / total, 6),
+    ).otherwise(F.lit(0.0)).cast("double")

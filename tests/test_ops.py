@@ -660,3 +660,58 @@ def test_asof_join_name_collision_validation(spark):
     # clean call still works and matches backward-inclusive semantics
     row = asof_join(left, right, on="k").first()
     assert row["price_r"] == 8.0
+
+
+def test_ngram_contamination_planted(spark):
+    """Decontamination: documents sharing >= n-word spans with the
+    benchmark are flagged proportionally; a verbatim copy scores 1.0,
+    disjoint text 0.0, short docs report zero grams (not a crash)."""
+    from chunker_spark.ops.decontaminate import ngram_contamination
+
+    bench_text = "what is the capital of france the answer is paris of course"
+    rows = [
+        (0, bench_text),                                     # verbatim leak
+        (1, "totally different words about spark shuffles and joins here now"),
+        (2, "the capital of france the answer is paris plus extra prose "
+            "about unrelated training pipelines and tokenizers"),  # partial span
+        (3, "tiny doc"),                                     # < n words
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    out = {r["doc_id"]: r for r in ngram_contamination(docs, bench, n=5).collect()}
+    assert out[0]["contamination"] == 1.0
+    assert out[1]["contamination"] == 0.0 and out[1]["n_contaminated"] == 0
+    assert 0.0 < out[2]["contamination"] < 1.0
+    assert out[3]["n_grams"] == 0 and out[3]["contamination"] == 0.0
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    """Scale shape: the eval-set gram side must broadcast (map-side
+    semi join — doc grams never shuffle); the only hash exchange
+    carries the fixed-width per-doc aggregate."""
+    import __spark_entry__ as e
+    from tests.test_plans import _plan
+
+    plan = _plan(e.q_doc_contamination(spark, "/root/testdata/sf0.001"), "simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_repetition_filters(spark):
+    from chunker_spark.functions.text import dup_line_fraction, dup_ngram_fraction
+
+    rows = [
+        (0, "error retry\nerror retry\nerror retry\nok done"),   # 2 dup lines of 4
+        (1, "a b a b a b a b"),                                  # looping 2-grams
+        (2, "all unique words in this single line"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in df.select(
+        "id",
+        dup_line_fraction("text").alias("dl"),
+        dup_ngram_fraction("text", 2).alias("dg"),
+    ).collect()}
+    assert out[0]["dl"] == 0.5                      # 4 lines, 2 distinct
+    assert out[1]["dg"] == round(1 - 2 / 7, 6)      # 7 bigrams, 2 distinct
+    assert out[2]["dl"] == 0.0 and out[2]["dg"] == 0.0
+    assert out[3]["dl"] == 0.0 and out[3]["dg"] == 0.0
