@@ -12,14 +12,20 @@
 set -u
 SEG=$1; EVENTS=$2; OUT=$3
 
-steal_pct() {  # args: pre-line post-line -> steal% of total delta
+steal_pct() {  # args: pre-line post-line -> "total% busy%"
+  # total% = steal share of all 32 vCPUs' time (comparable across runs);
+  # busy% = steal relative to non-idle time — the figure that matters
+  # for a 1-core run, where 1.4% total steal is ~45% of the one busy
+  # core's time.
   python3 - "$1" "$2" <<'EOF'
 import sys
 pre = [int(x) for x in sys.argv[1].split()[1:]]
 post = [int(x) for x in sys.argv[2].split()[1:]]
 d = [b - a for a, b in zip(pre, post)]
 tot = sum(d)
-print(round(100.0 * d[7] / tot, 2) if tot else 0.0)
+busy = tot - d[3] - d[4]  # minus idle, iowait
+print(round(100.0 * d[7] / tot, 2) if tot else 0.0,
+      round(100.0 * d[7] / busy, 2) if busy else 0.0)
 EOF
 }
 
@@ -29,12 +35,13 @@ for P in 1 4; do
       --mean-kb 4 --batches 1 --parallelism $P --seed 42 --tmpfs \
       --skip-verify 2>/dev/null | tail -1)
   POST=$(grep '^cpu ' /proc/stat)
-  S=$(steal_pct "$PRE" "$POST")
+  read -r S SB <<< "$(steal_pct "$PRE" "$POST")"
   echo "$LINE" | python3 -c "
 import json, sys
 d = json.loads(sys.stdin.read())
 print(json.dumps({'p': d['parallelism'], 'ev_s': d['value'],
                   'elapsed': d['elapsed_sec'], 'steal_pct': $S,
+                  'steal_busy_pct': $SB,
                   'sha': d['state_sha256'][:12]}))" >> "$OUT"
 done
 tail -2 "$OUT"

@@ -1,0 +1,59 @@
+"""Summarize a scaling-ladder jsonl (bench/ladder_pair.sh output).
+
+Prints per-level medians, per-pair efficiencies, and the steal-clean
+subset (both runs of a pair under the steal threshold) — the numbers
+BENCH/BASELINE.md publishes. Usage:
+
+    python bench/ladder_summary.py BENCH/ladder_r4.jsonl [--clean-steal 1.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("path")
+    ap.add_argument("--clean-steal", type=float, default=1.0,
+                    help="max total steal%% for a run to count as clean")
+    ap.add_argument("--lo", type=int, default=1, help="N parallelism level")
+    ap.add_argument("--hi", type=int, default=4, help="4N parallelism level")
+    args = ap.parse_args()
+
+    rows = [json.loads(l) for l in open(args.path) if l.strip()]
+    lo = [r for r in rows if r["p"] == args.lo]
+    hi = [r for r in rows if r["p"] == args.hi]
+
+    def med(rs):
+        return statistics.median(r["ev_s"] for r in rs) if rs else float("nan")
+
+    def clean(rs):
+        return [r for r in rs if r.get("steal_pct") is not None
+                and r["steal_pct"] <= args.clean_steal]
+
+    m_lo, m_hi = med(lo), med(hi)
+    print(f"levels: p{args.lo} n={len(lo)} median={m_lo:.0f} ev/s | "
+          f"p{args.hi} n={len(hi)} median={m_hi:.0f} ev/s")
+    print(f"all-runs median efficiency: {(m_hi / m_lo) / (args.hi / args.lo):.2f}")
+
+    pairs = list(zip(lo, hi))
+    effs = [(h["ev_s"] / l["ev_s"]) / (args.hi / args.lo) for l, h in pairs]
+    if effs:
+        print("per-pair efficiencies:", " ".join(f"{e:.2f}" for e in effs),
+              f"| median {statistics.median(effs):.2f}")
+
+    c_lo, c_hi = clean(lo), clean(hi)
+    if c_lo and c_hi:
+        print(f"steal-clean (<= {args.clean_steal}%): "
+              f"p{args.lo} n={len(c_lo)} median={med(c_lo):.0f} | "
+              f"p{args.hi} n={len(c_hi)} median={med(c_hi):.0f} | "
+              f"efficiency {(med(c_hi) / med(c_lo)) / (args.hi / args.lo):.2f}")
+    else:
+        print("steal-clean subset: insufficient clean runs")
+
+
+if __name__ == "__main__":
+    main()
