@@ -19,7 +19,7 @@
                 kernel, and both wire envelopes — Debezium and Maxwell,
                 the latter across a binlog rotation, the as-of join
                 vs DuckDB's native ASOF JOIN, HLL sketches via their
-                error contract). All 48 of 48 queries are value-checked.
+                error contract). All 49 of 49 queries are value-checked.
 
 Numeric parity policy: aggregates compute in exact DECIMAL on both
 sides, then cast to double and round — distributed double summation is
@@ -1664,6 +1664,59 @@ FROM g
 """
 
 
+def q_doc_pii(spark, sf):
+    """PII scrub audit (functions/text.py redact_pii/pii_counts): the
+    corpus carries no natural PII, so deterministic synthetic PII is
+    injected per doc_id residue class — an email, an IPv4, or an
+    SSN-shaped id — then redacted and counted. The oracle re-runs the
+    identical injection + RE2-compatible patterns in DuckDB, so the
+    redacted TEXT itself is hash-compared, not just the counts.
+    Map-only JVM regexp chain: no shuffle, no Python."""
+    from chunker_spark.functions.text import pii_counts, redact_pii
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"),
+                        F.lit("@example.com now")))
+        .when(did % 3 == 1,
+              F.concat(F.lit(" from 10.1."), (did % 256).cast("string"),
+                       F.lit(".7 logged")))
+        .otherwise(F.concat(F.lit(" ssn 123-45-"),
+                            F.lpad((did % 10000).cast("string"), 4, "0"))),
+    )
+    return d.select(
+        "doc_id",
+        redact_pii(injected).alias("redacted"),
+        *[c for c in pii_counts(injected)],
+    )
+
+
+SQL_DOC_PII = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+           WHEN doc_id % 3 = 1 THEN ' from 10.1.' || (doc_id % 256)::VARCHAR || '.7 logged'
+           ELSE ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         END AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+         '\b\d{3}-\d{2}-\d{4}\b', '[ID]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn
+FROM inj
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1714,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_approx_distinct": q_user_approx_distinct,
         "doc_contamination": q_doc_contamination,
         "doc_repetition": q_doc_repetition,
+        "doc_pii": q_doc_pii,
     }
 
 
@@ -1767,4 +1821,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_manifest": _sql_doc_manifest(),
         "doc_contamination": SQL_DOC_CONTAMINATION,
         "doc_repetition": SQL_DOC_REPETITION,
+        "doc_pii": SQL_DOC_PII,
     }

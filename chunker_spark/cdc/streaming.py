@@ -331,6 +331,47 @@ class IngestStream:
         return {"drained": drained, "batches": self.batches_seen}
 
 
+def session_window_stats(
+    events,
+    key_col: str = "repo",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+):
+    """Native session-window aggregation (``F.session_window``): per
+    (key, session) event counts with session start/end, where a session
+    extends while consecutive events arrive within ``gap``.
+
+    This is the STREAMING-native complement to the batch
+    ``ops.sessions.sessionize`` (which numbers sessions with window
+    functions): on a stream, Spark keeps one state row per OPEN session
+    and finalizes/evicts it once the event-time watermark passes
+    ``session end`` — bounded state, no reprocessing, late rows beyond
+    the watermark dropped (the standard trade). Batch frames run the
+    same expression without a watermark, so streaming ≡ batch is
+    directly testable. Boundary semantics: an event arriving at exactly
+    ``gap`` after the previous one starts a NEW session (session
+    intervals are half-open ``[start, last_event + gap)``), whereas
+    ``sessionize``'s ``>`` keeps the exact-gap event in-session — an
+    intentional parity gap of one boundary case, documented here and in
+    the cross-check test. Shuffle: one hash exchange on the key, state
+    fixed-width per open session.
+    """
+    from pyspark.sql import functions as F
+
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def windowed_event_metrics(events, window: str = "1 minute", watermark: str = "10 minutes"):
     """Tumbling event-time window rollup over a CDC event stream: per
     (window, op) event counts and content byte volume.

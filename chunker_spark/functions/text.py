@@ -143,3 +143,38 @@ def dup_ngram_fraction(col: str | Column, n: int = 2) -> Column:
         total > 0,
         F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / total, 6),
     ).otherwise(F.lit(0.0)).cast("double")
+
+
+# ---- PII scrubbing (pre-training redaction) -------------------------
+
+#: (name, pattern, replacement) applied IN ORDER by redact_pii — order
+#: is part of the contract (an [IP] replacement can never create an
+#: id-pattern match, etc.). Patterns are deliberately conservative and
+#: RE2-compatible so an external audit (e.g. DuckDB) can re-run them
+#: verbatim; fuzzy phone formats are excluded (locale-ambiguous —
+#: handle upstream with a dedicated library if required).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[ID]"),
+]
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Replace every email / IPv4 / SSN-shaped token with a typed
+    placeholder — the standard pre-training scrub, pure JVM
+    regexp_replace chain (map-only, no shuffle, codegen-friendly)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(col: str | Column) -> list[Column]:
+    """One ``n_<kind>`` count column per PII pattern (regexp_count,
+    JVM-side) — the audit surface next to the redaction."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]

@@ -24,7 +24,7 @@ def sessionize(
     df: DataFrame,
     key_col: str = "user_id",
     ts_col: str = "ts",
-    gap_s: int = 1800,
+    gap_s: float = 1800,
     session_col: str = "session_seq",
     split_interval_s: int | None = None,
     warn_skew_above: int | None = None,
@@ -83,7 +83,7 @@ def sessionize(
         prev_ts = F.lag(ts_col).over(w_order)
         # exact microsecond interval arithmetic (no unix_timestamp
         # second-truncation): a gap of exactly gap_s stays in-session
-        boundary = F.col(ts_col) > prev_ts + F.expr(f"INTERVAL {int(gap_s)} SECONDS")
+        boundary = F.col(ts_col) > prev_ts + F.expr(f"INTERVAL {gap_s} SECONDS")
         is_new = F.when(prev_ts.isNull() | boundary, 1).otherwise(0)
         running = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
@@ -96,7 +96,7 @@ def sessionize(
     split = df.withColumn("_bkt", bkt)
     w_local = Window.partitionBy(key_col, "_bkt").orderBy(ts_col)
     prev_ts = F.lag(ts_col).over(w_local)
-    boundary = F.col(ts_col) > prev_ts + F.expr(f"INTERVAL {int(gap_s)} SECONDS")
+    boundary = F.col(ts_col) > prev_ts + F.expr(f"INTERVAL {gap_s} SECONDS")
     is_new = F.when(prev_ts.isNull() | boundary, 1).otherwise(0)
     running_local = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = split.withColumn("_local_seq", F.sum(is_new).over(running_local) - F.lit(1))
@@ -131,7 +131,7 @@ def session_stats(
     df: DataFrame,
     key_col: str = "user_id",
     ts_col: str = "ts",
-    gap_s: int = 1800,
+    gap_s: float = 1800,
     value_col: str | None = None,
 ) -> DataFrame:
     """Per-session rollup: start/end, event count, optional value sum.

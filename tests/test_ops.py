@@ -715,3 +715,21 @@ def test_repetition_filters(spark):
     assert out[1]["dg"] == round(1 - 2 / 7, 6)      # 7 bigrams, 2 distinct
     assert out[2]["dl"] == 0.0 and out[2]["dg"] == 0.0
     assert out[3]["dl"] == 0.0 and out[3]["dg"] == 0.0
+
+
+def test_pii_redaction_and_counts(spark):
+    from chunker_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (0, "mail a.b+c@x-y.co and d@e.org from 10.0.0.1, ssn 123-45-6789 ok"),
+        (1, "no pii at all here"),
+        (2, "v6-ish 1.2.3.4.5 still redacts the embedded v4 run"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in df.select(
+        "id", redact_pii("text").alias("red"), *pii_counts("text")).collect()}
+    assert out[0]["red"] == "mail [EMAIL] and [EMAIL] from [IP], ssn [ID] ok"
+    assert (out[0]["n_email"], out[0]["n_ip"], out[0]["n_ssn"]) == (2, 1, 1)
+    assert out[1]["red"] == "no pii at all here"
+    assert sum((out[1]["n_email"], out[1]["n_ip"], out[1]["n_ssn"])) == 0
+    assert "[IP]" in out[2]["red"]

@@ -81,3 +81,52 @@ def test_windowed_metrics_streaming_equals_batch(spark, tmp_path):
     }
     assert got == exp
     assert len(exp) > 3  # multiple windows and ops actually present
+
+
+def test_session_window_streaming_equals_batch(spark, tmp_path):
+    """Native F.session_window sessions computed as a Structured Stream
+    (availableNow → memory sink) equal the same expression in batch,
+    and cross-check against the window-function sessionize: same number
+    of sessions per key and identical session_start sets (gap chosen
+    away from the generator's spacing so the one documented boundary
+    difference — exact-gap events — cannot fire)."""
+    from chunker_spark.cdc.events import EVENT_SCHEMA
+    from chunker_spark.cdc.streaming import session_window_stats
+    from chunker_spark.ops.sessions import session_stats
+
+    spec = GenSpec(seed=11, n_keys=15, mean_blocks=2)
+    seg_dir = str(tmp_path / "segments")
+    write_segments(spark, spec, 300, seg_dir, n_segments=3)
+    gap = "6500 milliseconds"
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(seg_dir)
+    q = (
+        session_window_stats(stream, key_col="repo", gap=gap)
+        .writeStream.format("memory")
+        .queryName("sess_win")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["repo"], str(r["session_start"])): (str(r["session_end"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_win").collect()
+    }
+
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(seg_dir)
+    exp = {
+        (r["repo"], str(r["session_start"])): (str(r["session_end"]), r["n_events"])
+        for r in session_window_stats(batch, key_col="repo", gap=gap).collect()
+    }
+    assert got == exp
+    assert len(exp) > 15  # real multi-session structure
+
+    # cross-algorithm check vs the window-function sessionizer
+    alt = session_stats(batch, key_col="repo", gap_s=6.5)
+    alt_rows = alt.collect()
+    assert len(alt_rows) == len(exp)
+    assert {(r["repo"], str(r["session_start"])) for r in alt_rows} == set(got)
+    # n_events per (key, start) agree too
+    alt_map = {(r["repo"], str(r["session_start"])): r["n_events"] for r in alt_rows}
+    assert {k: v[1] for k, v in got.items()} == alt_map
