@@ -19,7 +19,7 @@
                 kernel, and both wire envelopes — Debezium and Maxwell,
                 the latter across a binlog rotation, the as-of join
                 vs DuckDB's native ASOF JOIN, HLL sketches via their
-                error contract). All 49 of 49 queries are value-checked.
+                error contract). All 51 of 51 queries are value-checked.
 
 Numeric parity policy: aggregates compute in exact DECIMAL on both
 sides, then cast to double and round — distributed double summation is
@@ -1717,6 +1717,86 @@ FROM inj
 """
 
 
+def q_doc_quality_deciles(spark, sf):
+    """Quality-metric decile binning (ntile window) — the curation step
+    that stratifies a corpus for mixture weighting: rank every document
+    by a quality metric (mean word length, whose cross-engine parity
+    the doc_quality oracle already pins) into 10 equal bins, report
+    per-bin row counts and metric ranges. Tie-break on doc_id makes the
+    ntile assignment a total order, so Spark's and DuckDB's ntile agree
+    exactly. One window sort (global — fine for a scalar per-doc score;
+    at extreme scale Spark range-partitions the sort) + a tiny
+    aggregate."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf, "documents")
+    c = F.col("text")
+    n_words = F.size(F.split(F.trim(c), r"\s+"))
+    q = (
+        F.round(
+            F.length(c).cast("decimal(20,6)")
+            / F.greatest(n_words, F.lit(1)).cast("decimal(20,6)"),
+            4,
+        ).cast("double")
+    )
+    scored = d.select("doc_id", q.alias("q"))
+    w = Window.orderBy(F.col("q"), F.col("doc_id"))
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("q").alias("q_min"),
+            F.max("q").alias("q_max"),
+        )
+        .orderBy("decile")
+    )
+
+
+SQL_DOC_QUALITY_DECILES = r"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(round(CAST(length(text) AS DECIMAL(20,6))
+              / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DECIMAL(20,6)), 4) AS DOUBLE) AS q
+  FROM documents
+),
+binned AS (SELECT doc_id, q, ntile(10) OVER (ORDER BY q, doc_id) AS decile FROM scored)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+       min(q) AS q_min, max(q) AS q_max
+FROM binned GROUP BY decile ORDER BY decile
+"""
+
+
+def q_order_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS — the arbitrary-lattice sibling of the
+    ROLLUP/CUBE queries: totals by status alone, by priority alone, and
+    the grand total, in ONE pass (single Expand + two-phase hash
+    aggregate, same plan family as rollup). grouping_id disambiguates
+    the null-vs-aggregated rows."""
+    o = _t(spark, sf, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE), 2) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SQL_ORDER_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1768,6 +1848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination": q_doc_contamination,
         "doc_repetition": q_doc_repetition,
         "doc_pii": q_doc_pii,
+        "doc_quality_deciles": q_doc_quality_deciles,
+        "order_grouping_sets": q_order_grouping_sets,
     }
 
 
@@ -1822,4 +1904,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_contamination": SQL_DOC_CONTAMINATION,
         "doc_repetition": SQL_DOC_REPETITION,
         "doc_pii": SQL_DOC_PII,
+        "doc_quality_deciles": SQL_DOC_QUALITY_DECILES,
+        "order_grouping_sets": SQL_ORDER_GROUPING_SETS,
     }
