@@ -19,7 +19,11 @@
                 kernel, and both wire envelopes — Debezium and Maxwell,
                 the latter across a binlog rotation, the as-of join
                 vs DuckDB's native ASOF JOIN, HLL sketches via their
-                error contract). All 51 of 51 queries are value-checked.
+                error contract, sequence packing and exact stratified
+                sampling in pure integer arithmetic, TF-IDF and k-means
+                assignment under the rounded-before-rank float
+                protocol, SCD-2 validity intervals in integer
+                microseconds). All 57 of 57 queries are value-checked.
 
 Numeric parity policy: aggregates compute in exact DECIMAL on both
 sides, then cast to double and round — distributed double summation is
@@ -1797,6 +1801,214 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+def q_doc_pack(spark, sf):
+    """Sequence packing: lay the corpus into 512-token training bins
+    across 8 content-hash shards (`ops/packing.py`). Per-document
+    output (shard, start_bin, end_bin, bin_offset) — the full packing
+    layout, every row value-checked. Integer arithmetic end-to-end:
+    the window cumsum, the bin division and the offsets are exact, so
+    the oracle matches bit-for-bit with no float policy needed. One
+    hash-partition shuffle on the shard; shards sort independently."""
+    from chunker_spark.functions.text import token_count
+    from chunker_spark.ops.packing import pack_documents
+
+    d = _t(spark, sf, "documents")
+    return pack_documents(d, token_count("text"), budget=512, n_shards=8)
+
+
+SQL_DOC_PACK = r"""
+WITH toks AS (
+  SELECT doc_id, sha256(text) AS h,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS tokens
+  FROM documents
+), sharded AS (
+  SELECT doc_id, h, CAST(tokens AS BIGINT) AS tokens,
+         ('0x' || substr(h, 1, 2))::INT % 8 AS shard
+  FROM toks
+), packed AS (
+  SELECT doc_id, shard, tokens,
+         COALESCE(SUM(tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM sharded
+)
+SELECT doc_id, CAST(shard AS INT) AS shard, tokens,
+       CAST(cum_before // 512 AS BIGINT) AS start_bin,
+       CAST((cum_before + greatest(tokens, 1) - 1) // 512 AS BIGINT) AS end_bin,
+       CAST(cum_before % 512 AS BIGINT) AS bin_offset
+FROM packed
+"""
+
+
+def q_doc_stratified(spark, sf):
+    """EXACT stratified 1/5 sample per language (`ops/curation.py`):
+    rank within each stratum by (sha256(text), doc_id), keep the first
+    ceil(n/5). The keep test is pure integer arithmetic — no float
+    cutoff to disagree on — so the sampled id set itself is the
+    oracle, not just its size."""
+    from chunker_spark.ops.curation import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    return stratified_sample(d, ["lang"], 1, 5).select("doc_id", "lang")
+
+
+SQL_DOC_STRATIFIED = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY sha256(text), doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE (rk - 1) * 5 < n * 1
+"""
+
+
+def q_lang_top_terms(spark, sf):
+    """TF-IDF salient terms per language (`ops/terms.py`): one explode
+    pass, integer term-frequency sums, a single ln() multiply per
+    (lang, term) — no order-dependent float accumulation anywhere —
+    ranked on the 6-decimal-rounded score with the term as tie-break
+    (the ANN float-parity protocol)."""
+    from chunker_spark.ops.terms import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf, "documents"), k=5)
+
+
+SQL_LANG_TOP_TERMS = """
+WITH terms AS (
+  SELECT d.doc_id, d.lang, t.term
+  FROM documents d, unnest(regexp_split_to_array(lower(d.text), '[^a-z]+')) AS t(term)
+  WHERE length(t.term) >= 2
+),
+tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS total_tf FROM terms GROUP BY lang, term),
+dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq FROM terms GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.lang, tf.term, tf.total_tf, dfq.doc_freq,
+         round(tf.total_tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfq.doc_freq + 1)), 6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, term, total_tf, doc_freq,
+       round(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_embedding_kmeans(spark, sf):
+    """Distributed k-means assignment (`ops/clustering.py`): centroids
+    = the 8 lowest-id vectors (deterministic, engine-expressible
+    init), embedded as plan literals (the degenerate broadcast — no
+    exchange); per-row squared-L2 argmin with distances rounded to 6
+    BEFORE the argmin, ties to the lower centroid id. Map-only stage,
+    JVM fold, no Python. Full per-row oracle."""
+    from chunker_spark.ops.clustering import kmeans_assign
+
+    v = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    seed = v.orderBy("vec_id").limit(8).collect()
+    centroids = [(i, list(r["embedding"])) for i, r in enumerate(seed)]
+    return kmeans_assign(v, centroids).select("vec_id", "cluster", "sq_dist")
+
+
+SQL_EMBEDDING_KMEANS = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb AS cemb
+      FROM v ORDER BY vec_id LIMIT 8),
+scored AS (
+  SELECT v.vec_id, c.cid,
+         round(list_sum(list_transform(list_zip(v.emb, c.cemb),
+                                       x -> (x[1]-x[2])*(x[1]-x[2]))), 6) AS d
+  FROM v CROSS JOIN c
+)
+SELECT vec_id, CAST(cid AS INT) AS cluster, d AS sq_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM scored)
+WHERE rk = 1
+"""
+
+
+def q_events_scd2(spark, sf):
+    """SCD Type-2 history construction — the canonical CDC consumer
+    pattern: every event becomes a version row valid [ts, next ts of
+    the same user), open-ended for the current version. Durations in
+    exact integer microseconds (unix_micros), summarized per
+    event_type so the oracle pins interval construction (count, open
+    versions, total and max validity) without floating point. One
+    window shuffle on user_id."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vers = e.select(
+        "event_type",
+        # events.ts is TIMESTAMP_NTZ; session tz is UTC, so the cast is identity
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.lead("ts").over(w).cast("timestamp")).alias("next_us"),
+    )
+    dur = F.col("next_us") - F.col("ts_us")
+    return vers.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.when(F.col("next_us").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_current"),
+        F.sum(dur).alias("total_duration_us"),
+        F.max(dur).alias("max_duration_us"),
+    )
+
+
+SQL_EVENTS_SCD2 = """
+WITH vers AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS next_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(sum(CASE WHEN next_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+       CAST(sum(next_us - ts_us) AS BIGINT) AS total_duration_us,
+       CAST(max(next_us - ts_us) AS BIGINT) AS max_duration_us
+FROM vers GROUP BY event_type
+"""
+
+
+def q_customer_value_pctrank(spark, sf):
+    """percent_rank / cume_dist coverage: customers ranked by exact
+    DECIMAL spend within their nation. Both window values are small
+    integer ratios ((rank-1)/(n-1), peers/n) — IEEE division of exact
+    integers, bit-identical across engines, no rounding policy
+    needed (rounded to 6 anyway for display)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(20,4)")).alias("spend_dec"))
+    )
+    j = c.join(spend, c.c_custkey == spend.o_custkey).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("spend_dec").cast("double"), 2).alias("spend"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("spend")
+    return j.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "spend",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+SQL_CUSTOMER_VALUE_PCTRANK = """
+WITH spend AS (
+  SELECT o_custkey, round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE), 2) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey, spend,
+       round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY spend), 6) AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY spend), 6) AS cume_dist
+FROM customer JOIN spend ON c_custkey = o_custkey
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1850,6 +2062,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii": q_doc_pii,
         "doc_quality_deciles": q_doc_quality_deciles,
         "order_grouping_sets": q_order_grouping_sets,
+        "doc_pack": q_doc_pack,
+        "doc_stratified": q_doc_stratified,
+        "lang_top_terms": q_lang_top_terms,
+        "embedding_kmeans": q_embedding_kmeans,
+        "events_scd2": q_events_scd2,
+        "customer_value_pctrank": q_customer_value_pctrank,
     }
 
 
@@ -1906,4 +2124,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii": SQL_DOC_PII,
         "doc_quality_deciles": SQL_DOC_QUALITY_DECILES,
         "order_grouping_sets": SQL_ORDER_GROUPING_SETS,
+        "doc_pack": SQL_DOC_PACK,
+        "doc_stratified": SQL_DOC_STRATIFIED,
+        "lang_top_terms": SQL_LANG_TOP_TERMS,
+        "embedding_kmeans": SQL_EMBEDDING_KMEANS,
+        "events_scd2": SQL_EVENTS_SCD2,
+        "customer_value_pctrank": SQL_CUSTOMER_VALUE_PCTRANK,
     }

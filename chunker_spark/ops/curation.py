@@ -12,6 +12,7 @@ and no state or seed has to be carried around.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def content_hash_split(
@@ -55,3 +56,46 @@ def hash_sample(
         return df  # full sample: the clamped-threshold '<' would drop 1/65536
     threshold = format(min(int(frac * 65536), 65535), "04x")
     return df.where(F.substring(F.sha2(F.col(text_col), 256), 1, 4) < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    frac_num: int,
+    frac_den: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT per-stratum sampling: keep ceil(n_stratum * frac) rows of
+    every stratum, chosen deterministically.
+
+    `hash_sample` above gives each stratum only an *expected* fraction —
+    a small language or source can be over/under-sampled by luck, which
+    is exactly what corpus mixture weighting cannot tolerate. This
+    variant ranks rows within each stratum by (sha256(text), id) — a
+    content-determined total order — and keeps the first
+    ceil(n * frac_num/frac_den). The fraction is a rational, and the
+    keep test is pure integer arithmetic ((rank-1) * den < n * num), so
+    the result is bit-identical across engines and runs: no float
+    rounding can move the cutoff.
+
+    Cost: one hash-partition shuffle on the strata + per-stratum sort
+    (Spark sorts strata independently); fixed-width rank/count state.
+    At 100 TB a stratum is a language/source pair — thousands of
+    strata, each far smaller than the corpus, so the per-stratum sort
+    parallelizes. A single mega-stratum would need the same time-bucket
+    split trick sessionize uses; strata this op is meant for (mixture
+    weights) are bounded by construction.
+    """
+    if frac_den <= 0 or frac_num < 0:
+        raise ValueError(f"fraction must be >=0 with positive denominator, got {frac_num}/{frac_den}")
+    if frac_num > frac_den:
+        raise ValueError(f"fraction must be <= 1, got {frac_num}/{frac_den}")
+    order = [F.sha2(F.col(text_col), 256), F.col(id_col)]
+    w = Window.partitionBy(*strata_cols).orderBy(*order)
+    wn = Window.partitionBy(*strata_cols)
+    ranked = df.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    keep = (F.col("_rk") - 1) * F.lit(frac_den) < F.col("_n") * F.lit(frac_num)
+    return ranked.where(keep).drop("_rk", "_n")
