@@ -16,14 +16,15 @@
                 SQL, media digests pinned to generation-time values,
                 kernel chunk manifests joined by content hash to
                 expected vectors precomputed by the independent scalar
-                kernel, and both wire envelopes — Debezium and Maxwell,
-                the latter across a binlog rotation, the as-of join
+                kernel, and all three wire envelopes — Debezium, Maxwell
+                (across a binlog rotation) and wal2json (across a WAL
+                segment boundary), the as-of join
                 vs DuckDB's native ASOF JOIN, HLL sketches via their
                 error contract, sequence packing and exact stratified
                 sampling in pure integer arithmetic, TF-IDF and k-means
                 assignment under the rounded-before-rank float
                 protocol, SCD-2 validity intervals in integer
-                microseconds). All 57 of 57 queries are value-checked.
+                microseconds). All 58 of 58 queries are value-checked.
 
 Numeric parity policy: aggregates compute in exact DECIMAL on both
 sides, then cast to double and round — distributed double summation is
@@ -1325,6 +1326,82 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_wal2json_parse(spark, sf):
+    """wal2json (Postgres logical decoding, v2) wire-format ingestion
+    across a WAL SEGMENT boundary: JSON lines → EVENT_SCHEMA with seq =
+    the 64-bit LSN reassembled from the textual hi/lo hex form
+    (hi*2^32+lo; the lo part resets at segment boundaries, so ordering
+    on it alone would LWW-resolve to stale segment-0 rows) →
+    transaction-control lines (B/C) and TRUNCATE dropped, genuinely
+    malformed payloads diverted to the DLQ in the same scan →
+    last-writer-wins final state. The oracle restates parse + LSN
+    reassembly + name-value row-image lookup + LWW + tombstone drop
+    with DuckDB JSON functions."""
+    from chunker_spark.cdc.envelopes import (
+        parse_wal2json,
+        split_malformed,
+        wal2json_fixture_path,
+    )
+
+    raw = spark.read.parquet(wal2json_fixture_path())
+    clean, _dlq = split_malformed(raw, parser=parse_wal2json)
+    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
+    return (
+        clean.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("repo", "path", "commit", "seq", F.sha2("content", 256).alias("content_sha256"))
+    )
+
+
+def _sql_wal2json_parse() -> str:
+    from chunker_spark.cdc.envelopes import wal2json_fixture_path
+
+    path = wal2json_fixture_path()  # ensure the fixture exists for DuckDB
+    field = (
+        "(SELECT j->>'value' FROM unnest(CAST(json_extract(value, '$.{src}') AS JSON[])) AS u(j) "
+        "WHERE j->>'name' = '{name}')"
+    )
+
+    def img(name: str) -> str:
+        return (
+            "CASE WHEN json_extract_string(value, '$.action') = 'D' THEN "
+            + field.format(src="identity", name=name)
+            + " ELSE "
+            + field.format(src="columns", name=name)
+            + " END"
+        )
+
+    return f"""
+WITH raw AS (SELECT value FROM read_parquet('{path}')),
+rows0 AS (
+  SELECT value FROM raw
+  WHERE json_valid(value)
+    AND json_extract_string(value, '$.action') IN ('I', 'U', 'D')
+),
+parsed AS (
+  SELECT TRY_CAST(('0x' || string_split(json_extract_string(value, '$.lsn'), '/')[1]) AS BIGINT)
+             * 4294967296
+         + TRY_CAST(('0x' || string_split(json_extract_string(value, '$.lsn'), '/')[2]) AS BIGINT) AS seq,
+         json_extract_string(value, '$.action') AS op,
+         {img('repo')} AS repo,
+         {img('path')} AS path,
+         {img('commit')} AS commit,
+         {img('content')} AS content
+  FROM rows0
+),
+clean AS (
+  SELECT * FROM parsed
+  WHERE op IS NOT NULL AND seq IS NOT NULL AND repo IS NOT NULL AND path IS NOT NULL
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM clean
+)
+SELECT repo, path, commit, seq, sha256(content) AS content_sha256
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_events_asof_click(spark, sf):
     """Backward as-of join: every purchase matched to the SAME user's
     latest click at-or-before the purchase instant (inner: purchases
@@ -2050,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes": q_cdc_changes,
         "debezium_parse": q_debezium_parse,
         "maxwell_parse": q_maxwell_parse,
+        "wal2json_parse": q_wal2json_parse,
         "events_asof_click": q_events_asof_click,
         "events_value_tiers": q_events_value_tiers,
         "events_type_pivot": q_events_type_pivot,
@@ -2109,6 +2187,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changes": _sql_cdc_changes(),
         "debezium_parse": _sql_debezium_parse(),
         "maxwell_parse": _sql_maxwell_parse(),
+        "wal2json_parse": _sql_wal2json_parse(),
         "events_asof_click": SQL_EVENTS_ASOF_CLICK,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,
         "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,

@@ -21,12 +21,22 @@ Debezium envelope (unwrapped payload):
 Maxwell envelope:
     {"type": "insert|update|delete", "ts": <epoch-s>,
      "position": "<binlog pos>", "data": {...row...}}
+
+wal2json envelope (Postgres logical decoding, format-version 2 —
+one JSON line per change):
+    {"action": "I|U|D", "lsn": "hi/lo" (hex), "timestamp": "...",
+     "schema": "public", "table": "files",
+     "columns": [{"name": ..., "type": ..., "value": ...}, ...],
+     "identity": [{"name": ..., "value": ...}, ...]}   (old keys, U/D)
+plus transaction-control lines {"action": "B"|"C"} and TRUNCATEs
+{"action": "T"} which carry no row and are dropped (not DLQ'd).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     MapType,
     StringType,
@@ -61,6 +71,31 @@ _MAXWELL_SCHEMA = StructType(
 #: Debezium op codes -> engine ops ('r' = snapshot read = upsert)
 _DEBEZIUM_OPS = {"c": "I", "u": "U", "d": "D", "r": "I"}
 _MAXWELL_OPS = {"insert": "I", "update": "U", "delete": "D"}
+#: wal2json v2 actions are already I/U/D; B(egin)/C(ommit)/T(runcate)
+#: carry no row image and are dropped before projection
+_WAL2JSON_OPS = {"I": "I", "U": "U", "D": "D"}
+_WAL2JSON_NON_ROW_ACTIONS = ("B", "C", "T", "M")  # M = logical message
+
+_NAME_VALUE = ArrayType(
+    StructType(
+        [
+            StructField("name", StringType(), True),
+            StructField("value", StringType(), True),
+        ]
+    )
+)
+
+_WAL2JSON_SCHEMA = StructType(
+    [
+        StructField("action", StringType(), True),
+        StructField("lsn", StringType(), True),
+        StructField("timestamp", StringType(), True),
+        StructField("schema", StringType(), True),
+        StructField("table", StringType(), True),
+        StructField("columns", _NAME_VALUE, True),
+        StructField("identity", _NAME_VALUE, True),
+    ]
+)
 
 
 def _op_expr(col, mapping: dict[str, str]):
@@ -175,6 +210,145 @@ def parse_maxwell(raw: DataFrame, value_col: str = "value", keep_raw: bool = Fal
     if keep_raw:
         extra.append(F.col(value_col).alias("_raw"))
     return _project_event(parsed, op, seq, ts, img, extra)
+
+
+def parse_wal2json(raw: DataFrame, value_col: str = "value", keep_raw: bool = False) -> DataFrame:
+    """wal2json (Postgres, format-version 2) JSON lines -> EVENT_SCHEMA.
+
+    ``seq`` is the 64-bit LSN reassembled from the textual ``hi/lo``
+    hex form (``hi * 2^32 + lo``) — Postgres LSNs are globally
+    monotonic, so no rotation packing is needed (the WAL segment name
+    is derived FROM the LSN, unlike MySQL binlog files). Row images
+    arrive as ``columns``/``identity`` name-value arrays, not objects —
+    ``map_from_entries`` rebuilds the map JVM-side, no Python. Deletes
+    (and the U old-image) carry keys in ``identity``; I/U rows in
+    ``columns``. Transaction-control lines (``B``/``C``), TRUNCATE and
+    logical messages carry no row: they are DROPPED here (a normal
+    stream is full of them), while undecodable JSON or a missing
+    lsn/key still surfaces as a null-op/seq row for the DLQ split.
+    """
+    parsed = raw.withColumn("_env", F.from_json(F.col(value_col), _WAL2JSON_SCHEMA))
+    env = F.col("_env")
+    parsed = parsed.where(
+        env["action"].isNull() | ~env["action"].isin(*_WAL2JSON_NON_ROW_ACTIONS)
+    )
+    op = _op_expr(env["action"], _WAL2JSON_OPS)
+    to_map = lambda arr: F.map_from_entries(  # noqa: E731
+        F.transform(arr, lambda c: F.struct(c["name"], c["value"]))
+    )
+    img = F.when(env["action"] == "D", to_map(env["identity"])).otherwise(
+        to_map(env["columns"])
+    )
+    lsn_hi = F.conv(F.split(env["lsn"], "/")[0], 16, 10).try_cast("long")
+    lsn_lo = F.conv(F.split(env["lsn"], "/")[1], 16, 10).try_cast("long")
+    seq = F.when(
+        lsn_hi.isNotNull() & lsn_lo.isNotNull(),
+        F.shiftleft(lsn_hi, 32) + lsn_lo,
+    )
+    ts = env["timestamp"].try_cast("timestamp")
+    extra = [env["table"].alias("src_table")]
+    if keep_raw:
+        extra.append(F.col(value_col).alias("_raw"))
+    return _project_event(parsed, op, seq, ts, img, extra)
+
+
+def wal2json_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:
+    """Write the deterministic wal2json-v2 fixture (parquet, one
+    ``value`` JSON string column) once and return its path. 86 lines
+    over 20 (repo,path) keys crossing a WAL *segment* boundary (LSN hi
+    part increments — the total order must follow the reassembled
+    64-bit LSN, not the lo part, which resets): per transaction a
+    B(egin) line, its I/U/D changes, and a C(ommit) line — control
+    lines must be dropped, NOT dead-lettered; 20 inserts + 20 updates
+    in segment 0, 20 updates at smaller lo-offsets in segment 1 (these
+    must win LWW), 4 deletes via ``identity`` old-keys, one TRUNCATE
+    line (dropped), plus 2 genuinely malformed payloads (bad JSON /
+    missing lsn) that the DLQ split must divert. pyarrow-written so
+    oracle_sql() needs no SparkSession."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{base}/wal2json_v1.parquet"
+    if os.path.exists(path):
+        return path
+
+    def cols(key, hi, lo):
+        row = {
+            "repo": f"repo-{key % 5}",
+            "path": f"pg/w{key}.sql",
+            "commit": f"l{hi}-{lo:07x}",
+            "lang": "sql",
+            "content": f"select {key}, {lo};\n" * (1 + key % 3),
+        }
+        return [{"name": k, "type": "text", "value": v} for k, v in row.items()]
+
+    def change(action, hi, lo, key, n):
+        body = {
+            "action": action,
+            "lsn": f"{hi:X}/{lo:X}",
+            "timestamp": f"2023-11-14 15:{n // 60:02d}:{n % 60:02d}.{n:06d}+00:00",
+            "schema": "public",
+            "table": "files",
+        }
+        if action == "D":
+            body["identity"] = [
+                {"name": "repo", "value": f"repo-{key % 5}"},
+                {"name": "path", "value": f"pg/w{key}.sql"},
+            ]
+        else:
+            body["columns"] = cols(key, hi, lo)
+        return json.dumps(body, sort_keys=True)
+
+    values = []
+    n = 0
+
+    def txn(changes):
+        nonlocal n
+        values.append(json.dumps({"action": "B"}))
+        values.extend(changes)
+        values.append(json.dumps({"action": "C"}))
+
+    lo = 0x1000
+    batch = []
+    for k in range(20):  # inserts, segment 0
+        lo += 0x40
+        n += 1
+        batch.append(change("I", 0, lo, k, n))
+    txn(batch)
+    batch = []
+    for k in range(20):  # updates, segment 0
+        lo += 0x40
+        n += 1
+        batch.append(change("U", 0, lo, k, n))
+    txn(batch)
+    lo = 0x200  # SEGMENT boundary: hi increments, lo resets BELOW segment-0 offsets
+    batch = []
+    for k in range(20):  # updates, segment 1 — must win LWW on the 64-bit LSN
+        lo += 0x28
+        n += 1
+        batch.append(change("U", 1, lo, k, n))
+    txn(batch)
+    batch = []
+    for k in (2, 7, 11, 16):  # deletes via identity old-keys
+        lo += 0x28
+        n += 1
+        batch.append(change("D", 1, lo, k, n))
+    txn(batch)
+    values.append(json.dumps({"action": "T", "schema": "public", "table": "files"}))
+    values.append("wal2json but broken }}}")
+    values.append(
+        json.dumps({"action": "U", "columns": [{"name": "repo", "value": "x"}]})
+    )  # no lsn -> unorderable -> DLQ
+
+    table = pa.table({"value": pa.array(values, pa.string())})
+    os.makedirs(base, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def debezium_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:

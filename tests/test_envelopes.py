@@ -611,3 +611,127 @@ def test_sessionize_skew_warning(spark, caplog):
     with caplog.at_level(logging.WARNING, logger="chunker_spark.ops.sessions"):
         sessionize(df, gap_s=1800).collect()  # default: no action, no warning
     assert not caplog.messages
+
+
+def test_wal2json_parse_images_and_lsn(spark):
+    """wal2json v2: 64-bit LSN reassembly (hi*2^32+lo), name-value
+    column arrays -> row images, identity old-keys for deletes,
+    transaction-control/TRUNCATE lines dropped (not parsed as rows)."""
+    import json as _json
+
+    from chunker_spark.cdc.envelopes import parse_wal2json
+
+    lines = [
+        _json.dumps({"action": "B"}),
+        _json.dumps({
+            "action": "I", "lsn": "0/1A0", "timestamp": "2023-11-14 15:00:01.000001+00:00",
+            "schema": "public", "table": "files",
+            "columns": [{"name": "repo", "value": "r"}, {"name": "path", "value": "x.sql"},
+                        {"name": "content", "value": "v1\n"}],
+        }),
+        _json.dumps({
+            "action": "U", "lsn": "1/10", "table": "files",
+            "columns": [{"name": "repo", "value": "r"}, {"name": "path", "value": "x.sql"},
+                        {"name": "content", "value": "v2\n"}],
+        }),
+        _json.dumps({
+            "action": "D", "lsn": "1/20", "table": "files",
+            "identity": [{"name": "repo", "value": "r"}, {"name": "path", "value": "y.sql"}],
+        }),
+        _json.dumps({"action": "T", "schema": "public", "table": "files"}),
+        _json.dumps({"action": "C"}),
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    rows = {r["seq"]: r for r in parse_wal2json(raw).collect()}
+    # B/C/T dropped entirely: only the three row changes surface
+    assert len(rows) == 3
+    assert rows[0x1A0]["op"] == "I" and rows[0x1A0]["content"] == "v1\n"
+    # hi part dominates: 1/10 -> 2^32 + 0x10
+    assert (1 << 32) + 0x10 in rows and rows[(1 << 32) + 0x10]["op"] == "U"
+    d = rows[(1 << 32) + 0x20]
+    assert d["op"] == "D" and d["path"] == "y.sql" and d["content"] is None
+    assert all(r["src_table"] == "files" for r in rows.values())
+
+
+def test_wal2json_fixture_splits_and_segment_order(spark):
+    """The fixture's DLQ split: exactly the 2 genuinely-malformed lines
+    divert; all 64 row changes parse clean; control lines vanish; and
+    the segment-1 updates (smaller lo offsets) win LWW on the
+    reassembled LSN."""
+    from pyspark.sql import functions as F
+
+    from chunker_spark.cdc.envelopes import (
+        parse_wal2json,
+        split_malformed,
+        wal2json_fixture_path,
+    )
+
+    raw = spark.read.parquet(wal2json_fixture_path())
+    clean, dlq = split_malformed(raw, parser=parse_wal2json)
+    assert dlq.count() == 2
+    assert clean.count() == 64  # 20 I + 20 U + 20 U + 4 D
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
+    final = (
+        clean.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .collect()
+    )
+    assert len(final) == 16  # 20 keys - 4 deletes
+    # every surviving version is a segment-1 update (commit 'l1-...')
+    assert all(r["commit"].startswith("l1-") for r in final)
+
+
+def test_streaming_wal2json_wire_ingest(spark, tmp_path):
+    """The wal2json wire path end-to-end through IngestStream: JSON
+    lines crossing a WAL segment boundary -> per-batch parse with
+    reassembled LSN -> control lines dropped, corrupt line DLQ'd ->
+    exactly-once MERGE; redelivery no-ops."""
+    import json as _json
+
+    from chunker_spark.cdc import LakeTable
+    from chunker_spark.cdc.streaming import IngestStream
+    from chunker_spark.kernel import ChunkerParams
+
+    def wj(action, lsn, path, content=None):
+        body = {"action": action, "lsn": lsn, "table": "files"}
+        if action == "D":
+            body["identity"] = [{"name": "repo", "value": "r"},
+                                {"name": "path", "value": path}]
+        else:
+            body["columns"] = [{"name": "repo", "value": "r"},
+                               {"name": "path", "value": path},
+                               {"name": "commit", "value": lsn},
+                               {"name": "content", "value": content}]
+        return _json.dumps(body)
+
+    log_dir = tmp_path / "wj-log"
+    log_dir.mkdir()
+    (log_dir / "seg-0.jsonl").write_text("\n".join([
+        _json.dumps({"action": "B"}),
+        wj("I", "0/9000", "a.sql", "seg0-a\n"),
+        wj("I", "0/9100", "b.sql", "seg0-b\n"),
+        _json.dumps({"action": "C"}),
+        "corrupt }}}",
+    ]) + "\n")
+    (log_dir / "seg-1.jsonl").write_text("\n".join([
+        # segment boundary: lo resets below every seg-0 offset
+        wj("U", "1/120", "a.sql", "seg1-a\n"),
+        wj("D", "1/150", "b.sql"),
+    ]) + "\n")
+
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    params = ChunkerParams(average_bits=6, min_size=64, max_size=256)
+
+    def run():
+        IngestStream(spark, lake, str(log_dir), str(tmp_path / "ckpt"),
+                     params=params, wire_format="wal2json").run_available()
+
+    run()
+    state = {r.path: r.content for r in lake.read().collect()}
+    assert state == {"a.sql": "seg1-a\n"}  # LSN-ordered LWW; b.sql deleted
+    assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
+    n = len(lake.committed_batch_ids())
+    run()  # redelivery: complete no-op
+    assert len(lake.committed_batch_ids()) == n

@@ -269,3 +269,53 @@ def test_range_join_no_nested_loop(spark):
     plan = _plan(e.q_events_value_tiers(spark, SF), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_packing_single_exchange_text_never_shuffles(spark):
+    """doc_pack: ONE Exchange (the shard hash partition) and it carries
+    only fixed-width columns — the document text is consumed by the
+    hash/token projection before the shuffle."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_doc_pack(spark, SF), "simple")
+    assert plan.count("Exchange") == 1, plan
+    exchange_line = [l for l in plan.splitlines() if "Exchange" in l][0]
+    assert "text" not in exchange_line, exchange_line
+
+
+def test_tfidf_text_dropped_at_tokenizer(spark):
+    """lang_top_terms: the explode produces fixed-width (id, lang, term)
+    rows; no Exchange carries the raw text column, and the corpus-size
+    scalar rides in as a broadcast, not a shuffle."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_lang_top_terms(spark, SF), "simple")
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assign_is_map_only(spark):
+    """Centroid assignment adds NO exchange: centroids are plan
+    literals, the distance fold is JVM built-ins (no Python worker)."""
+    from chunker_spark.ops.clustering import kmeans_assign
+
+    v = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dim = v.select(F.size("embedding").alias("d")).first()["d"]
+    cents = [(i, [float(i)] * dim) for i in range(4)]
+    plan = _plan(kmeans_assign(v, cents), "simple")
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_stratified_sample_single_exchange(spark):
+    """Exact stratified sampling: one hash Exchange on the strata; rank
+    and per-stratum count share the same window sort."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_doc_stratified(spark, SF), "simple")
+    assert plan.count("Exchange") == 1, plan
