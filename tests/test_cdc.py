@@ -736,3 +736,76 @@ def test_processing_time_deadline_undershoot_detectable(spark, tmp_path):
     )
     assert run["drained"] is False
     assert run["batches"] == stream.batches_seen < 999
+
+
+def test_fingerprint_store_incremental_equals_recompute(spark, tmp_path):
+    """The distributed incremental-dedup consumer: a parquet-persisted
+    (key, fp) store maintained ONLY from changes(since, until) equals a
+    full fingerprint recompute of the resolved table after every commit
+    — through updates, deletes, re-creates and compaction. Re-running a
+    refresh at the same commit is a no-op (exactly-once), and dup
+    groups derived from the store match the direct groupBy."""
+    from chunker_spark.ops.incremental import FingerprintStore, dup_groups
+
+    events = list(gen_events_local(SPEC, 240))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4, compact_threshold=3)
+    store = FingerprintStore(spark, str(tmp_path / "fps"))
+
+    for i, lo in enumerate(range(0, 240, 60)):
+        apply_batch(lake, _events_df(spark, events[lo : lo + 60]), f"fp{i}", params=PARAMS)
+        res = store.refresh(lake)
+        assert res["applied"] is True
+        # idempotent: same commit -> no-op
+        res2 = store.refresh(lake)
+        assert res2["applied"] is False and res2["to"] == res["to"]
+
+        got = {
+            tuple(r): None
+            for r in store.read().select("repo", "path", "fp").collect()
+        }
+        want = {
+            tuple(r): None
+            for r in lake.read()
+            .select("repo", "path", F.sha2(F.col("content").cast("binary"), 256).alias("fp"))
+            .collect()
+        }
+        assert got == want, f"commit interval {i}"
+
+    # dup groups from the store == direct fingerprint groupBy on the table
+    got_groups = {
+        (r["fp"], r["n_copies"]) for r in dup_groups(store.read()).collect()
+    }
+    want_groups = {
+        (r["fp"], r["n"])
+        for r in lake.read()
+        .groupBy(F.sha2(F.col("content").cast("binary"), 256).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .collect()
+    }
+    assert got_groups == want_groups
+
+
+def test_fingerprint_store_update_plan_content_free(spark, tmp_path):
+    """Scale shape of one store update: the touched-key retraction is a
+    BROADCAST anti-join (an interval is batch-sized) and no Exchange
+    carries the content column — only fixed-width key+fp rows move."""
+    from chunker_spark.ops.incremental import update_fingerprint_store
+
+    events = list(gen_events_local(SPEC, 120))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4)
+    apply_batch(lake, _events_df(spark, events[:60]), "p0", params=PARAMS)
+    c0 = lake.current_commit()["commit_seq"]
+    store0 = lake.read().select(
+        "repo", "path", F.sha2(F.col("content").cast("binary"), 256).alias("fp")
+    )
+    apply_batch(lake, _events_df(spark, events[60:]), "p1", params=PARAMS)
+    c1 = lake.current_commit()["commit_seq"]
+    updated = update_fingerprint_store(store0, lake.changes(since=c0, until=c1))
+
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = updated._jdf.queryExecution().explainString(jmode)
+    assert "BroadcastExchange" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "content#" not in line, line
