@@ -319,3 +319,52 @@ def test_stratified_sample_single_exchange(spark):
 
     plan = _plan(e.q_doc_stratified(spark, SF), "simple")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Spark-native bucketing: two tables bucketed+sorted on the join
+    key join with NO Exchange on either side — the strategy for 100 TB
+    fact-fact joins that repeat across a pipeline (pay the partitioned
+    write once, skip the shuffle on every subsequent join). Bucket
+    counts must match; broadcast disabled to force the merge path."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    (
+        orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", str(tmp_path / "orders_b"))
+        .mode("overwrite").saveAsTable("orders_bucketed")
+    )
+    (
+        customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", str(tmp_path / "customer_b"))
+        .mode("overwrite").saveAsTable("customer_bucketed")
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.table("orders_bucketed")
+            .join(
+                spark.table("customer_bucketed"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .count()
+        )
+        plan = _plan(j, "simple")
+        assert "SortMergeJoin" in plan
+        # the join itself is exchange-free: the only Exchange in the plan
+        # is the one the final tiny groupBy needs
+        join_part = plan.split("SortMergeJoin")[1]
+        assert "Exchange" not in join_part, plan
+        # value sanity vs the plain (shuffled) join
+        plain = (
+            orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .count()
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS customer_bucketed")
