@@ -1,0 +1,112 @@
+"""End-to-end training-data curation walkthrough over the documents
+corpus: quality filter → PII scrub → decontaminate → dedup (exact +
+near) → language-stratified sample → sequence packing.
+
+One runnable script composing the `ops/` + `functions/text` surface
+the way a pretraining-data pipeline does, in the order a real pipeline
+runs the stages (cheap map-only filters first, pairwise ops on the
+shrunken survivor set, packing last). Every stage is deterministic —
+reruns print byte-identical output — and every number printed is a
+fixed-width aggregate: the document text itself never leaves the
+executors.
+
+Usage: python examples/curation_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import SparkSession, functions as F
+
+from chunker_spark.functions.text import (
+    dup_line_fraction,
+    quality_features,
+    redact_pii,
+    token_count,
+)
+from chunker_spark.ops.curation import stratified_sample
+from chunker_spark.ops.dedup import exact_dedup, minhash_lsh_pairs
+from chunker_spark.ops.decontaminate import ngram_contamination
+from chunker_spark.ops.graph import dedup_clusters
+from chunker_spark.ops.packing import pack_documents, packing_summary
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("curation-pipeline-demo")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out: dict = {"corpus_docs": docs.count()}
+
+    # 1. map-only quality gate: cheap signals, no shuffle
+    feats = quality_features("text")
+    scored = docs.select(
+        "doc_id", "text", "lang",
+        feats["mean_word_len"].alias("mwl"),
+        feats["punct_ratio"].alias("punct"),
+        dup_line_fraction("text").alias("dup_lines"),
+    )
+    kept = scored.where(
+        (F.col("mwl") >= 2.0) & (F.col("punct") <= 0.3) & (F.col("dup_lines") <= 0.5)
+    )
+    out["after_quality_filter"] = kept.count()
+
+    # 2. PII scrub (map-only redaction chain)
+    clean = kept.select("doc_id", "lang", redact_pii("text").alias("text"))
+
+    # 3. decontamination vs a (here: planted) eval set — broadcast grams
+    evalset = docs.where(F.col("doc_id") < 5).select("text")
+    contam = ngram_contamination(clean, evalset, n=8)
+    clean = (
+        clean.join(
+            contam.where(F.col("contamination") > 0.5).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    out["after_decontamination"] = clean.count()
+
+    # 4. exact dedup (fingerprint groupBy) + near-dup clusters (LSH)
+    uniq = clean.join(
+        exact_dedup(clean).select("doc_id"), "doc_id", "left_semi"
+    )
+    pairs = minhash_lsh_pairs(uniq, num_hashes=64, bands=16, threshold=0.8)
+    clusters = dedup_clusters(pairs)  # (doc_id, rep_id): keep reps only
+    canonical = (
+        uniq.join(clusters, "doc_id", "left")
+        .where(F.col("rep_id").isNull() | (F.col("rep_id") == F.col("doc_id")))
+        .select("doc_id", "lang", "text")
+    )
+    out["after_near_dedup"] = canonical.count()
+
+    # 5. exact 1/5 stratified sample per language (held-out eval shard)
+    eval_shard = stratified_sample(canonical, ["lang"], 1, 5)
+    train = canonical.join(eval_shard.select("doc_id"), "doc_id", "left_anti")
+    out["eval_shard_docs"] = eval_shard.count()
+    out["train_docs"] = train.count()
+
+    # 6. pack the training survivors into 512-token bins
+    packed = pack_documents(train, token_count("text"), budget=512, n_shards=4)
+    summary = packing_summary(packed, budget=512).collect()
+    out["packed_bins"] = int(sum(r["bins_used"] for r in summary))
+    out["packed_tokens"] = int(sum(r["total_tokens"] for r in summary))
+    out["fill_ratio_mean"] = round(
+        sum(r["fill_ratio"] for r in summary) / len(summary), 4
+    )
+
+    print(json.dumps(out, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
