@@ -30,18 +30,25 @@ EOF
 }
 
 for P in 1 4; do
+  # Pre-run memory-bandwidth regime probe (see bench/bw_probe.py):
+  # steal can read 0 while a co-tenant saturates DRAM, which throttles
+  # 4-core runs 2-3x and leaves 1-core runs untouched.
+  BW=$(python bench/bw_probe.py 2>/dev/null)
   PRE=$(grep '^cpu ' /proc/stat)
   LINE=$(python bench/run_ingest.py --segments "$SEG" --events "$EVENTS" \
       --mean-kb 4 --batches 1 --parallelism $P --seed 42 --tmpfs \
       --skip-verify 2>/dev/null | tail -1)
   POST=$(grep '^cpu ' /proc/stat)
   read -r S SB <<< "$(steal_pct "$PRE" "$POST")"
-  echo "$LINE" | python3 -c "
-import json, sys
+  echo "$LINE" | BW="$BW" python3 -c "
+import json, os, sys
 d = json.loads(sys.stdin.read())
+bw = json.loads(os.environ.get('BW') or '{}')
 print(json.dumps({'p': d['parallelism'], 'ev_s': d['value'],
                   'elapsed': d['elapsed_sec'], 'steal_pct': $S,
                   'steal_busy_pct': $SB,
+                  'fresh_gbs': bw.get('fresh_gbs'),
+                  'agg4_gbs': bw.get('agg4_gbs'),
                   'sha': d['state_sha256'][:12]}))" >> "$OUT"
 done
 tail -2 "$OUT"
