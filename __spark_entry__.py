@@ -1402,6 +1402,77 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_canal_parse(spark, sf):
+    """Canal FlatMessage wire-format ingestion — the multi-row dialect:
+    each message carries a binlog-ordered ARRAY of row images, exploded
+    JVM-side (posexplode_outer) with seq packed as batch_id*2^20+pos,
+    because the same key can legally appear several times inside ONE
+    batch (the fixture plants a key three times in one message — batch
+    id alone ties, only the in-batch position resolves LWW). DDL
+    messages are dropped, malformed payloads diverted to the DLQ in the
+    same scan, then last-writer-wins final state. The oracle restates
+    explode + packing + LWW + tombstone drop with DuckDB JSON unnest
+    (generate_subscripts gives the 1-based position, re-based to 0)."""
+    from chunker_spark.cdc.envelopes import (
+        canal_fixture_path,
+        parse_canal,
+        split_malformed,
+    )
+
+    raw = spark.read.parquet(canal_fixture_path())
+    clean, _dlq = split_malformed(raw, parser=parse_canal)
+    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
+    return (
+        clean.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("repo", "path", "commit", "seq", F.sha2("content", 256).alias("content_sha256"))
+    )
+
+
+def _sql_canal_parse() -> str:
+    from chunker_spark.cdc.envelopes import CANAL_PACK_SHIFT, canal_fixture_path
+
+    path = canal_fixture_path()  # ensure the fixture exists for DuckDB
+    shift = 1 << CANAL_PACK_SHIFT
+    return f"""
+WITH raw AS (SELECT value FROM read_parquet('{path}')),
+msgs AS (
+  SELECT TRY_CAST(json_extract_string(value, '$.id') AS BIGINT) AS mid,
+         json_extract_string(value, '$.type') AS mtype,
+         CAST(json_extract(value, '$.data') AS JSON[]) AS data
+  FROM raw
+  WHERE json_valid(value)
+    AND COALESCE(json_extract_string(value, '$.isDdl'), 'false') NOT IN ('true', '1')
+),
+exploded AS (
+  SELECT mid, mtype,
+         unnest(data) AS img,
+         generate_subscripts(data, 1) - 1 AS pos
+  FROM msgs
+),
+parsed AS (
+  SELECT mid * {shift} + pos AS seq,
+         CASE mtype WHEN 'INSERT' THEN 'I' WHEN 'UPDATE' THEN 'U'
+                    WHEN 'DELETE' THEN 'D' END AS op,
+         img->>'repo' AS repo,
+         img->>'path' AS path,
+         img->>'commit' AS commit,
+         img->>'content' AS content
+  FROM exploded
+),
+clean AS (
+  SELECT * FROM parsed
+  WHERE op IS NOT NULL AND seq IS NOT NULL AND repo IS NOT NULL AND path IS NOT NULL
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM clean
+)
+SELECT repo, path, commit, seq, sha256(content) AS content_sha256
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_events_asof_click(spark, sf):
     """Backward as-of join: every purchase matched to the SAME user's
     latest click at-or-before the purchase instant (inner: purchases
@@ -2128,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debezium_parse": q_debezium_parse,
         "maxwell_parse": q_maxwell_parse,
         "wal2json_parse": q_wal2json_parse,
+        "canal_parse": q_canal_parse,
         "events_asof_click": q_events_asof_click,
         "events_value_tiers": q_events_value_tiers,
         "events_type_pivot": q_events_type_pivot,
@@ -2188,6 +2260,7 @@ def oracle_sql() -> dict[str, str]:
         "debezium_parse": _sql_debezium_parse(),
         "maxwell_parse": _sql_maxwell_parse(),
         "wal2json_parse": _sql_wal2json_parse(),
+        "canal_parse": _sql_canal_parse(),
         "events_asof_click": SQL_EVENTS_ASOF_CLICK,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,
         "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,

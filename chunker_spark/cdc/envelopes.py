@@ -30,6 +30,14 @@ one JSON line per change):
      "identity": [{"name": ..., "value": ...}, ...]}   (old keys, U/D)
 plus transaction-control lines {"action": "B"|"C"} and TRUNCATEs
 {"action": "T"} which carry no row and are dropped (not DLQ'd).
+
+Canal envelope (Alibaba Canal "FlatMessage" JSON for MySQL — the only
+dialect here whose messages are MULTI-ROW: one binlog event batch per
+message, row images in a ``data`` ARRAY):
+    {"id": <batch id>, "database": ..., "table": ...,
+     "type": "INSERT|UPDATE|DELETE" (DDL kinds when isDdl),
+     "isDdl": false, "es": <source epoch-ms>, "ts": <process epoch-ms>,
+     "data": [{...row...}, ...], "old": [{...changed cols...}, ...]}
 """
 
 from __future__ import annotations
@@ -94,6 +102,22 @@ _WAL2JSON_SCHEMA = StructType(
         StructField("table", StringType(), True),
         StructField("columns", _NAME_VALUE, True),
         StructField("identity", _NAME_VALUE, True),
+    ]
+)
+
+_CANAL_OPS = {"INSERT": "I", "UPDATE": "U", "DELETE": "D"}
+
+_CANAL_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), True),
+        StructField("database", StringType(), True),
+        StructField("table", StringType(), True),
+        StructField("type", StringType(), True),
+        StructField("isDdl", StringType(), True),  # tolerate true/"true"
+        StructField("es", LongType(), True),
+        StructField("ts", LongType(), True),
+        StructField("data", ArrayType(MapType(StringType(), StringType())), True),
+        StructField("old", ArrayType(MapType(StringType(), StringType())), True),
     ]
 )
 
@@ -250,6 +274,132 @@ def parse_wal2json(raw: DataFrame, value_col: str = "value", keep_raw: bool = Fa
     if keep_raw:
         extra.append(F.col(value_col).alias("_raw"))
     return _project_event(parsed, op, seq, ts, img, extra)
+
+
+#: seq packing for Canal FlatMessages: seq = batch_id * 2^20 + row_pos.
+#: Canal assigns each message a monotonically increasing batch ``id``;
+#: WITHIN a message the ``data`` array is binlog-ordered, and the same
+#: primary key can legally appear several times (insert then update in
+#: one batch), so LWW must order on (id, position). 2^20 rows per
+#: message far exceeds any real canal.instance batchSize, and ids keep
+#: 43 high bits before sign trouble.
+CANAL_PACK_SHIFT = 20
+
+
+def parse_canal(raw: DataFrame, value_col: str = "value", keep_raw: bool = False) -> DataFrame:
+    """Canal FlatMessage JSON envelopes -> EVENT_SCHEMA rows.
+
+    The one multi-row dialect: each message carries a ``data`` ARRAY of
+    row images (strings — Canal stringifies MySQL values), exploded
+    JVM-side with ``posexplode_outer`` so one scan yields one event row
+    per array element with its in-batch position. ``seq`` packs
+    ``batch_id * 2^20 + position`` (see ``CANAL_PACK_SHIFT``): batch
+    ids are monotonic across messages and positions are binlog-ordered
+    within one, which is exactly the total order LWW needs when a key
+    appears twice in one batch. DELETE messages carry the full old row
+    in ``data`` (``old`` only holds changed columns on UPDATE, so it is
+    never the image source). DDL messages (``isDdl`` true) carry no row
+    and are DROPPED — a normal stream contains them — while undecodable
+    JSON or a missing batch id still surfaces as a null-seq row for the
+    DLQ split. ``posexplode_outer`` (not ``posexplode``) keeps
+    data-less messages as one null-image row for the same reason.
+    """
+    parsed = raw.withColumn("_env", F.from_json(F.col(value_col), _CANAL_SCHEMA))
+    env = F.col("_env")
+    parsed = parsed.where(
+        env["isDdl"].isNull() | ~F.lower(env["isDdl"]).isin("true", "1")
+    )
+    parsed = parsed.select("*", F.posexplode_outer(env["data"]).alias("_pos", "_img"))
+    op = _op_expr(env["type"], _CANAL_OPS)
+    seq = F.when(
+        env["id"].isNotNull() & F.col("_pos").isNotNull(),
+        F.shiftleft(env["id"], CANAL_PACK_SHIFT) + F.col("_pos"),
+    )
+    ts = F.timestamp_millis(env["es"])
+    extra = [env["table"].alias("src_table")]
+    if keep_raw:
+        extra.append(F.col(value_col).alias("_raw"))
+    return _project_event(parsed, op, seq, ts, F.col("_img"), extra)
+
+
+def canal_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:
+    """Write the deterministic Canal-FlatMessage fixture (parquet, one
+    ``value`` JSON string column) once and return its path. 8 messages
+    / 58 row images over 24 (repo,path) keys exercising the multi-row
+    shape: two 12-row INSERT batches, one 24-row UPDATE batch, one
+    batch where the SAME key appears three times (in-batch position
+    must decide LWW — ordering on batch id alone ties), a 4-key DELETE
+    batch, one DDL message (dropped, not dead-lettered), plus 2
+    malformed payloads (bad JSON / missing batch id) that the DLQ
+    split must divert. pyarrow-written so oracle_sql() needs no
+    SparkSession."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{base}/canal_v1.parquet"
+    if os.path.exists(path):
+        return path
+
+    def row(key, tag):
+        return {
+            "repo": f"repo-{key % 4}",
+            "path": f"svc/c{key}.java",
+            "commit": f"b{tag}",
+            "lang": "java",
+            "content": f"class C{key} {{ int v() {{ return {tag}; }} }}\n" * (1 + key % 3),
+        }
+
+    def msg(mid, mtype, rows, es, is_ddl=False):
+        return json.dumps(
+            {
+                "id": mid,
+                "database": "repos",
+                "table": "files",
+                "type": mtype,
+                "isDdl": is_ddl,
+                "es": es,
+                "ts": es + 250,
+                "data": rows,
+                "old": None,
+            },
+            sort_keys=True,
+        )
+
+    values = []
+    es = 1700100000000
+    values.append(msg(100, "INSERT", [row(k, 100) for k in range(12)], es))
+    values.append(msg(101, "INSERT", [row(k, 101) for k in range(12, 24)], es + 1000))
+    values.append(msg(102, "UPDATE", [row(k, 102) for k in range(24)], es + 2000))
+    # key 3 three times in ONE batch: positions 0, 2, 5 — the pos-5
+    # image must win LWW; batch id alone cannot order these
+    values.append(
+        msg(
+            103,
+            "UPDATE",
+            [row(3, 1030), row(8, 1031), row(3, 1032), row(15, 1033), row(21, 1034), row(3, 1035)],
+            es + 3000,
+        )
+    )
+    values.append(
+        msg(104, "DELETE", [row(k, 104) for k in (2, 8, 14, 20)], es + 4000)
+    )
+    values.append(
+        msg(105, "ALTER", None, es + 5000, is_ddl=True)
+    )  # DDL: dropped, not dead-lettered
+    values.append("canal but broken [[[")
+    values.append(  # no batch id -> unorderable -> DLQ
+        json.dumps({"type": "UPDATE", "es": 1, "data": [{"repo": "x", "path": "y"}]})
+    )
+
+    table = pa.table({"value": pa.array(values, pa.string())})
+    os.makedirs(base, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def wal2json_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:

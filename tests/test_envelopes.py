@@ -735,3 +735,138 @@ def test_streaming_wal2json_wire_ingest(spark, tmp_path):
     n = len(lake.committed_batch_ids())
     run()  # redelivery: complete no-op
     assert len(lake.committed_batch_ids()) == n
+
+
+def test_canal_parse_multirow_explode_and_inbatch_order(spark):
+    """Canal FlatMessage is the multi-row dialect: one message = one
+    binlog event batch with a `data` ARRAY of row images. The parse
+    must (a) yield one event per array element, (b) pack seq as
+    (batch_id << SHIFT) + in-batch position so a key repeated WITHIN
+    one batch still has a total order, (c) take DELETE images from
+    `data` (not `old`), and (d) drop DDL messages without dead-
+    lettering them."""
+    import json as _json
+
+    from chunker_spark.cdc.envelopes import CANAL_PACK_SHIFT, parse_canal
+
+    def canal(mid, mtype, rows, is_ddl=False):
+        return _json.dumps({"id": mid, "database": "d", "table": "files",
+                            "type": mtype, "isDdl": is_ddl,
+                            "es": 1700000000000, "ts": 1700000000250,
+                            "data": rows, "old": None})
+
+    raw = spark.createDataFrame(
+        [
+            (canal(7, "INSERT", [
+                {"repo": "r", "path": "a.java", "content": "v0"},
+                {"repo": "r", "path": "b.java", "content": "w0"},
+                {"repo": "r", "path": "a.java", "content": "v1"},  # same key, later pos
+            ]),),
+            (canal(8, "DELETE", [{"repo": "r", "path": "b.java", "content": "w0"}]),),
+            (canal(9, "ALTER", None, is_ddl=True),),
+        ],
+        "value string",
+    )
+    ev = parse_canal(raw).orderBy("seq").collect()
+    base7, base8 = 7 << CANAL_PACK_SHIFT, 8 << CANAL_PACK_SHIFT
+    # DDL dropped entirely — only the 4 row images surface
+    assert [(e.op, e.seq) for e in ev] == [
+        ("I", base7 + 0), ("I", base7 + 1), ("I", base7 + 2), ("D", base8 + 0)]
+    # in-batch order: the pos-2 image of a.java outranks the pos-0 one
+    assert ev[2].path == "a.java" and ev[2].content == "v1"
+    assert ev[0].content == "v0"
+    # DELETE keyed from the data image
+    assert ev[3].path == "b.java" and ev[3].op == "D"
+    assert all(e.src_table == "files" for e in ev)
+    assert ev[0].ts == datetime.datetime(2023, 11, 14, 22, 13, 20)
+
+
+def test_canal_fixture_deterministic_and_splits(spark):
+    """The Canal fixture's DLQ split: exactly the 2 planted malformed
+    payloads (bad JSON / batch-id-less) divert; all 58 row images parse
+    clean; the DDL message vanishes (dropped, NOT dead-lettered); and
+    the triple-repeated key inside batch 103 resolves LWW by in-batch
+    position (pos 5 wins)."""
+    from chunker_spark.cdc.envelopes import (
+        CANAL_PACK_SHIFT,
+        canal_fixture_path,
+        parse_canal,
+        split_malformed,
+    )
+
+    p1, p2 = canal_fixture_path(), canal_fixture_path()
+    assert p1 == p2
+    raw = spark.read.parquet(p1)
+    clean, dlq = split_malformed(raw, parser=parse_canal)
+    assert dlq.count() == 2
+    assert clean.count() == 58  # 12 + 12 + 24 + 6 + 4; DDL contributes none
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
+    final = {
+        r.path: r
+        for r in clean.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .collect()
+    }
+    assert len(final) == 24 - 4  # four keys deleted in batch 104
+    # key 3 appears at positions 0/2/5 of batch 103: pos 5 must win
+    win = final["svc/c3.java"]
+    assert win.seq == (103 << CANAL_PACK_SHIFT) + 5
+    assert win.commit == "b1035"
+
+
+def test_streaming_canal_wire_ingest(spark, tmp_path):
+    """The Canal wire path end-to-end through IngestStream: multi-row
+    FlatMessages (incl. a key repeated within one batch and a DDL line)
+    -> per-message explode + packed seq -> DLQ split -> exactly-once
+    MERGE; redelivery no-ops."""
+    import json as _json
+
+    from chunker_spark.cdc import LakeTable
+    from chunker_spark.cdc.streaming import IngestStream
+    from chunker_spark.kernel import ChunkerParams
+
+    def canal(mid, mtype, rows, is_ddl=False):
+        return _json.dumps({"id": mid, "database": "d", "table": "files",
+                            "type": mtype, "isDdl": is_ddl,
+                            "es": 1700000000000 + mid, "ts": 1700000001000,
+                            "data": rows, "old": None})
+
+    log_dir = tmp_path / "canal-log"
+    log_dir.mkdir()
+    (log_dir / "seg-0.jsonl").write_text("\n".join([
+        canal(1, "INSERT", [
+            {"repo": "r", "path": "a.java", "commit": "c1", "content": "v1\n"},
+            {"repo": "r", "path": "b.java", "commit": "c1", "content": "w1\n"},
+        ]),
+        "canal corrupt [[[",
+    ]) + "\n")
+    (log_dir / "seg-1.jsonl").write_text("\n".join([
+        # one batch: a.java updated twice (pos 0 then pos 2) + b.java deleted
+        canal(2, "UPDATE", [
+            {"repo": "r", "path": "a.java", "commit": "c2", "content": "v2-early\n"},
+            {"repo": "r", "path": "b.java", "commit": "c2", "content": "w2\n"},
+            {"repo": "r", "path": "a.java", "commit": "c2", "content": "v2-final\n"},
+        ]),
+        canal(3, "DELETE", [{"repo": "r", "path": "b.java", "commit": "c2",
+                             "content": "w2\n"}]),
+        canal(4, "ALTER", None, is_ddl=True),  # dropped, not dead-lettered
+    ]) + "\n")
+
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    params = ChunkerParams(average_bits=6, min_size=64, max_size=256)
+
+    def run():
+        IngestStream(spark, lake, str(log_dir), str(tmp_path / "ckpt"),
+                     params=params, wire_format="canal").run_available()
+
+    run()
+    state = {r.path: r.content for r in lake.read().collect()}
+    # in-batch LWW: the pos-2 image wins; b.java deleted at batch 3
+    assert state == {"a.java": "v2-final\n"}
+    assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
+    n = len(lake.committed_batch_ids())
+    run()  # redelivery: complete no-op
+    assert len(lake.committed_batch_ids()) == n
+    assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
