@@ -1987,6 +1987,119 @@ FROM packed
 """
 
 
+def q_lineitem_zorder(spark, sf):
+    """Z-order curve positions (`ops/layout.py` — the compaction-time
+    file layout for multi-column data-skipping): bucket l_partkey and
+    l_suppkey to 8 bits each with EXACT integer min-max scaling
+    ((x-min)*256 // (max-min+1) — no float policy needed), then Morton-
+    interleave the bucket bits JVM-side. The oracle regenerates the
+    identical shift/mask arithmetic as ANSI SQL (disjoint bit terms
+    summed with + == OR'd). The quantile (equi-depth) strategy and the
+    actual file-pruning effect are behaviour-tested in
+    tests/test_pipeline_ops.py / test_plans.py — boundary sampling
+    isn't value-pinnable, curve arithmetic is."""
+    from chunker_spark.ops.layout import zorder_value
+
+    li = _t(spark, sf, "lineitem")
+    z = zorder_value(li, ["l_partkey", "l_suppkey"], bits=8, strategy="minmax")
+    return z.where(F.col("l_quantity") > 45).select(
+        "l_orderkey", "l_linenumber", "zvalue"
+    )
+
+
+def _sql_lineitem_zorder() -> str:
+    interleave = " + ".join(
+        f"(((b{c} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(8)
+        for i, c in enumerate(("p", "s"))
+    )
+    return f"""
+WITH stats AS (
+  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+  FROM lineitem
+),
+bucketed AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         ((l_partkey - pmin) * 256) // (pmax - pmin + 1) AS bp,
+         ((l_suppkey - smin) * 256) // (smax - smin + 1) AS bs
+  FROM lineitem, stats
+)
+SELECT l_orderkey, l_linenumber,
+       CAST({interleave} AS BIGINT) AS zvalue
+FROM bucketed WHERE l_quantity > 45
+"""
+
+
+def q_doc_boilerplate(spark, sf):
+    """Line-level boilerplate removal (`ops/boilerplate.py` — the
+    CCNet/RefinedWeb paragraph-dedup pass): synthesize multi-line
+    "pages" of 5 documents each, then strip every line whose normalized
+    form (lower+trim) appears in >= 2 distinct pages. The engine never
+    shuffles text for the decision — document frequency runs on
+    (xxhash64(line), page_id) int pairs and the rebuild is a positional
+    JVM array filter over the original column. The oracle restates the
+    whole pass with DuckDB string_split/unnest, grouping on the
+    normalized line itself (no hash), so agreement also certifies the
+    hash-collision-free count path. sha256 of the rebuilt text pins
+    line order and joining exactly."""
+    from chunker_spark.ops.boilerplate import remove_boilerplate_lines
+
+    d = _t(spark, sf, "documents")
+    pages = d.groupBy(F.floor(F.col("doc_id") / 5).alias("page_id")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    out = remove_boilerplate_lines(pages, id_col="page_id", text_col="text", min_docs=2)
+    total_lines = F.size(F.split(F.col("text"), "\n"))
+    return out.select(
+        "page_id",
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha256"),
+        F.col("n_lines_removed"),
+        (total_lines - F.col("n_lines_removed")).alias("n_lines_kept"),
+    )
+
+
+SQL_DOC_BOILERPLATE = """
+WITH pages AS (
+  SELECT doc_id // 5 AS page_id,
+         string_agg(text, chr(10) ORDER BY doc_id) AS text
+  FROM documents GROUP BY 1
+),
+lines AS (
+  SELECT page_id,
+         unnest(str_split(text, chr(10))) AS line,
+         generate_subscripts(str_split(text, chr(10)), 1) - 1 AS pos
+  FROM pages
+),
+freq AS (
+  SELECT lower(trim(line)) AS norm, count(DISTINCT page_id) AS df
+  FROM lines GROUP BY 1
+),
+flagged AS (
+  SELECT l.page_id, l.pos, l.line, f.df >= 2 AS dropped
+  FROM lines l JOIN freq f ON lower(trim(l.line)) = f.norm
+),
+rebuilt AS (
+  SELECT page_id,
+         coalesce(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE NOT dropped), '') AS clean_text,
+         count(*) FILTER (WHERE dropped) AS n_removed,
+         count(*) FILTER (WHERE NOT dropped) AS n_kept
+  FROM flagged GROUP BY page_id
+)
+SELECT page_id, sha256(clean_text) AS clean_sha256,
+       CAST(n_removed AS INT) AS n_lines_removed,
+       CAST(n_kept AS INT) AS n_lines_kept
+FROM rebuilt
+"""
+
+
 def q_doc_stratified(spark, sf):
     """EXACT stratified 1/5 sample per language (`ops/curation.py`):
     rank within each stratum by (sha256(text), doc_id), keep the first
@@ -2209,6 +2322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_approx_distinct": q_user_approx_distinct,
         "doc_contamination": q_doc_contamination,
         "doc_repetition": q_doc_repetition,
+        "doc_boilerplate": q_doc_boilerplate,
+        "lineitem_zorder": q_lineitem_zorder,
         "doc_pii": q_doc_pii,
         "doc_quality_deciles": q_doc_quality_deciles,
         "order_grouping_sets": q_order_grouping_sets,
@@ -2273,6 +2388,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_manifest": _sql_doc_manifest(),
         "doc_contamination": SQL_DOC_CONTAMINATION,
         "doc_repetition": SQL_DOC_REPETITION,
+        "doc_boilerplate": SQL_DOC_BOILERPLATE,
+        "lineitem_zorder": _sql_lineitem_zorder(),
         "doc_pii": SQL_DOC_PII,
         "doc_quality_deciles": SQL_DOC_QUALITY_DECILES,
         "order_grouping_sets": SQL_ORDER_GROUPING_SETS,

@@ -203,3 +203,189 @@ def test_kmeans_validation(vectors):
         kmeans_fit(vectors, k=0)
     with pytest.raises(ValueError):
         kmeans_fit(vectors, k=3, iters=-1)
+
+
+# ---- line-level boilerplate removal ----------------------------------
+
+def test_boilerplate_cross_doc_lines_removed_order_kept(spark):
+    from chunker_spark.ops.boilerplate import remove_boilerplate_lines
+
+    banner = "Cookie Policy | Accept All"
+    rows = [
+        (1, f"{banner}\nunique alpha\nmiddle one\n{banner}"),
+        (2, f"{banner}\nunique beta"),
+        (3, "standalone text\nno shared lines here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in remove_boilerplate_lines(df).collect()}
+    # every occurrence of the cross-doc banner goes, in-order remainder stays
+    assert got[1].clean_text == "unique alpha\nmiddle one"
+    assert got[1].n_lines_removed == 2
+    assert got[2].clean_text == "unique beta" and got[2].n_lines_removed == 1
+    # untouched doc: text intact, zero removed (left-join null path)
+    assert got[3].clean_text == rows[2][1] and got[3].n_lines_removed == 0
+
+
+def test_boilerplate_df_is_document_frequency_not_term_frequency(spark):
+    """A refrain repeated 3x WITHIN one doc is df=1 — kept. The same
+    line appearing in a second doc flips df to 2 — all occurrences in
+    both docs are removed."""
+    from chunker_spark.ops.boilerplate import remove_boilerplate_lines
+
+    refrain = "and miles to go before i sleep"
+    solo = spark.createDataFrame(
+        [(1, f"verse\n{refrain}\n{refrain}\n{refrain}")], "doc_id long, text string"
+    )
+    kept = remove_boilerplate_lines(solo).first()
+    assert kept.n_lines_removed == 0 and kept.clean_text == solo.first().text
+
+    both = spark.createDataFrame(
+        [(1, f"verse\n{refrain}\n{refrain}"), (2, f"{refrain}\nother")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in remove_boilerplate_lines(both).collect()}
+    assert got[1].clean_text == "verse" and got[1].n_lines_removed == 2
+    assert got[2].clean_text == "other" and got[2].n_lines_removed == 1
+
+
+def test_boilerplate_normalization_and_empty_result(spark):
+    """Counting is lower+trim invariant ('  Privacy POLICY ' matches
+    'privacy policy') but the KEPT text is byte-identical to the input;
+    a doc that is 100% boilerplate comes back as ''."""
+    from chunker_spark.ops.boilerplate import remove_boilerplate_lines
+
+    rows = [
+        (1, "  Privacy POLICY \nreal content"),
+        (2, "privacy policy"),
+        (3, "keep me\nAS IS"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in remove_boilerplate_lines(df).collect()}
+    assert got[1].clean_text == "real content"
+    assert got[2].clean_text == "" and got[2].n_lines_removed == 1
+    assert got[3].clean_text == "keep me\nAS IS"  # original bytes, not normalized
+
+
+def test_boilerplate_min_docs_threshold_and_validation(spark):
+    from chunker_spark.ops.boilerplate import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(i, "shared line\nown line %d" % i) for i in range(3)],
+        "doc_id long, text string",
+    )
+    # min_docs=4 > corpus df=3: nothing removed
+    out = remove_boilerplate_lines(df, min_docs=4)
+    assert all(r.n_lines_removed == 0 for r in out.collect())
+    with pytest.raises(ValueError, match="min_docs"):
+        remove_boilerplate_lines(df, min_docs=1)
+
+
+# ---- z-order layout --------------------------------------------------
+
+def test_zorder_interleave_matches_reference_morton(spark):
+    """The JVM bit-interleave equals a pure-Python Morton encode for
+    every (x, y) in a 2-bit grid — and the minmax bucketing maps the
+    value range onto the full grid."""
+    from chunker_spark.ops.layout import zorder_value
+
+    def morton(xs, bits):
+        z = 0
+        for i, x in enumerate(xs):
+            for b in range(bits):
+                z |= ((x >> b) & 1) << (b * len(xs) + i)
+        return z
+
+    # values 0..3 with min=0,max=3: bucket = v*4//4 = v exactly
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.zvalue
+        for r in zorder_value(df, ["x", "y"], bits=2).collect()
+    }
+    assert got == {(x, y): morton((x, y), 2) for x, y in rows}
+    # curve locality spot-checks: origin at 0, max corner fills 4 bits
+    assert got[(0, 0)] == 0 and got[(3, 3)] == 0b1111
+
+
+def test_zorder_nulls_and_validation(spark):
+    from chunker_spark.ops.layout import zorder_value
+
+    df = spark.createDataFrame([(1, 10), (None, 20), (4, None)], "x long, y long")
+    got = zorder_value(df, ["x", "y"], bits=4).collect()
+    assert all(r.zvalue is not None for r in got)  # nulls -> bucket 0, not null z
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        zorder_value(df, ["x"])
+    with pytest.raises(ValueError, match="fit a long"):
+        zorder_value(df, ["x", "y"], bits=32)
+    with pytest.raises(ValueError, match="strategy"):
+        zorder_value(df, ["x", "y"], strategy="zscore")
+
+
+def test_zorder_quantile_buckets_are_equi_depth_under_skew(spark):
+    """The production strategy: on a heavily skewed column (90% of mass
+    at the low end) quantile bucketing still spreads rows evenly across
+    buckets, where minmax collapses them into a few. Decoded bucket =
+    even bits of the z-value."""
+    from chunker_spark.ops.layout import zorder_value
+
+    rows = [(i, i % 7, (i % 10) if i % 10 < 9 else 1000 + i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, other long, skewed long")
+    bits = 3
+
+    def decode_first(z):  # bits of col index 0 live at positions 2b
+        return sum(((z >> (2 * b)) & 1) << b for b in range(bits))
+
+    for strategy, expect_spread in (("quantile", True), ("minmax", False)):
+        out = zorder_value(df, ["skewed", "other"], bits=bits, strategy=strategy)
+        counts = {}
+        for r in out.collect():
+            counts[decode_first(r.zvalue)] = counts.get(decode_first(r.zvalue), 0) + 1
+        if expect_spread:
+            assert len(counts) == 2**bits
+            assert max(counts.values()) <= 3 * (2000 // 2**bits)
+        else:
+            # 90% of values share 9 raw values near min -> few buckets
+            assert counts.get(0, 0) >= 1700
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """The point of the layout: after zorder_write on (l_partkey,
+    l_suppkey), file-level min/max stats exclude most files for a point
+    predicate on EITHER column; a linear l_partkey sort prunes only its
+    own column (every file matches any l_suppkey). Measured from real
+    parquet footers, sf0.01 (60k rows, 16 files)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from chunker_spark.ops.layout import zorder_write
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "lin")
+    zorder_write(li, zdir, ["l_partkey", "l_suppkey"], n_files=16, bits=8)
+    (li.repartitionByRange(16, "l_partkey").sortWithinPartitions("l_partkey")
+       .write.mode("overwrite").parquet(ldir))
+
+    def files_overlapping(path, col, val):
+        hit = tot = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            stats = [
+                md.row_group(rg).column(ci).statistics
+                for rg in range(md.num_row_groups)
+                for ci in range(md.num_columns)
+                if md.row_group(rg).column(ci).path_in_schema == col
+            ]
+            tot += 1
+            if min(s.min for s in stats) <= val <= max(s.max for s in stats):
+                hit += 1
+        return hit, tot
+
+    zh_p, zt = files_overlapping(zdir, "l_partkey", 1000)
+    zh_s, _ = files_overlapping(zdir, "l_suppkey", 50)
+    lh_p, lt = files_overlapping(ldir, "l_partkey", 1000)
+    lh_s, _ = files_overlapping(ldir, "l_suppkey", 50)
+    assert zt == 16 and lt == 16
+    assert zh_p <= 10 and zh_s <= 10   # z-order prunes BOTH dims (meas. 8 / 6)
+    assert lh_p <= 2                   # linear is perfect on its sort col...
+    assert lh_s == 16                  # ...and useless on the other

@@ -3,6 +3,8 @@ want at 100 TB — filters and projections reach the parquet scan, small
 dimensions broadcast, aggregates combine map-side, hot stages stay in
 whole-stage codegen."""
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -368,3 +370,23 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+
+
+def test_boilerplate_text_never_shuffles(spark):
+    """remove_boilerplate_lines over the raw documents table: every
+    shuffle Exchange in the plan moves fixed-width ints only — the line
+    text reaches no Exchange (the df count runs on (hash, id) pairs,
+    the drop join projects (id, pos), and the rebuild is a positional
+    array filter on the un-shuffled original column). Audited on the
+    formatted plan, whose Exchange blocks list their output columns."""
+    from chunker_spark.ops.boilerplate import remove_boilerplate_lines
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(remove_boilerplate_lines(df), "formatted")
+    # formatted output: each "(N) Exchange" block is followed by its
+    # Input/Arguments lines naming the columns it carries
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    exchange_blocks = [b for b in blocks if b.startswith("Exchange")]
+    assert exchange_blocks, plan  # the df aggregate must really shuffle
+    for b in exchange_blocks:
+        assert "text#" not in b and "_bp_line" not in b, b
