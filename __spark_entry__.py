@@ -1987,6 +1987,62 @@ FROM packed
 """
 
 
+def q_doc_mixture(spark, sf):
+    """Corpus mixture weighting (`ops/curation.py mixture_sample` — the
+    Pile/DoReMi recipe): a DIFFERENT exact fraction per source —
+    100% of src0, 3/4 of src1, 1/2 of src2, 1/5 of src3, src4 dropped,
+    1/10 of everything else. Content-determined rank within each
+    source, pure-integer keep test ((rk-1)*den < n*num), so the kept
+    id set is bit-identical to the oracle's CASE-driven restatement —
+    no float cutoff anywhere."""
+    from chunker_spark.ops.curation import mixture_sample
+
+    d = _t(spark, sf, "documents")
+    quotas = {"src0": (1, 1), "src1": (3, 4), "src2": (1, 2), "src3": (1, 5), "src4": (0, 1)}
+    return mixture_sample(d, "source", quotas, default=(1, 10)).select("doc_id", "source")
+
+
+SQL_DOC_MIXTURE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY sha256(text), doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source FROM ranked
+WHERE (rk - 1) * (CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 4 WHEN 'src2' THEN 2
+                              WHEN 'src3' THEN 5 WHEN 'src4' THEN 1 ELSE 10 END)
+    <       n * (CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 3 WHEN 'src2' THEN 1
+                              WHEN 'src3' THEN 1 WHEN 'src4' THEN 0 ELSE 1 END)
+"""
+
+
+def q_doc_weighted_sample(spark, sf):
+    """Deterministic weighted sampling without replacement
+    (`ops/curation.py weighted_sample`, Efraimidis-Spirakis A-ES):
+    sample_key = ln(content-hash uniform) / n_chars, top-100 keys win —
+    selection probability proportional to document length, yet a pure
+    function of the data. Plans as TakeOrderedAndProject (partial
+    top-k per partition), not a full sort. House float policy: key
+    rounded to 6 before ranking, ties on doc_id."""
+    from chunker_spark.ops.curation import weighted_sample
+
+    d = _t(spark, sf, "documents")
+    return weighted_sample(d, k=100, weight_col="n_chars").select(
+        "doc_id", "n_chars", "sample_key"
+    )
+
+
+SQL_DOC_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars,
+       round(ln((('0x' || substr(sha256(text), 1, 8))::BIGINT + 0.5) / 4294967296.0)
+             / n_chars, 6) AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id
+LIMIT 100
+"""
+
+
 def q_lineitem_zorder(spark, sf):
     """Z-order curve positions (`ops/layout.py` — the compaction-time
     file layout for multi-column data-skipping): bucket l_partkey and
@@ -2324,6 +2380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_boilerplate": q_doc_boilerplate,
         "lineitem_zorder": q_lineitem_zorder,
+        "doc_mixture": q_doc_mixture,
+        "doc_weighted_sample": q_doc_weighted_sample,
         "doc_pii": q_doc_pii,
         "doc_quality_deciles": q_doc_quality_deciles,
         "order_grouping_sets": q_order_grouping_sets,
@@ -2390,6 +2448,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": SQL_DOC_REPETITION,
         "doc_boilerplate": SQL_DOC_BOILERPLATE,
         "lineitem_zorder": _sql_lineitem_zorder(),
+        "doc_mixture": SQL_DOC_MIXTURE,
+        "doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
         "doc_pii": SQL_DOC_PII,
         "doc_quality_deciles": SQL_DOC_QUALITY_DECILES,
         "order_grouping_sets": SQL_ORDER_GROUPING_SETS,

@@ -99,3 +99,87 @@ def stratified_sample(
     )
     keep = (F.col("_rk") - 1) * F.lit(frac_den) < F.col("_n") * F.lit(frac_num)
     return ranked.where(keep).drop("_rk", "_n")
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    quotas: dict[str, tuple[int, int]],
+    default: tuple[int, int] = (0, 1),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus mixture weighting (the Pile/DoReMi recipe): keep a
+    DIFFERENT exact fraction of each stratum — ``quotas`` maps a
+    stratum value to a rational (num, den); strata not listed get
+    ``default`` ((0, 1) = drop, (1, 1) = keep all).
+
+    Same machinery as `stratified_sample` — content-determined rank
+    within the stratum, integer keep test, bit-identical across
+    engines — but the fraction is per-stratum, which is what a training
+    mixture actually is: 100% of a small high-quality source, 4% of a
+    crawl. One shuffle on the stratum; the quota lookup is a literal
+    CASE chain (mixture specs are small by nature — if yours has 10^5
+    entries it is a join, not a mixture).
+    """
+    for k, (num, den) in quotas.items():
+        if den <= 0 or num < 0 or num > den:
+            raise ValueError(f"quota for {k!r} must be 0 <= num/den <= 1, got {num}/{den}")
+    dn, dd = default
+    if dd <= 0 or dn < 0 or dn > dd:
+        raise ValueError(f"default quota must be 0 <= num/den <= 1, got {dn}/{dd}")
+    num_c, den_c = F.lit(dn), F.lit(dd)
+    for k, (num, den) in sorted(quotas.items()):
+        hit = F.col(stratum_col) == F.lit(k)
+        num_c = F.when(hit, F.lit(num)).otherwise(num_c)
+        den_c = F.when(hit, F.lit(den)).otherwise(den_c)
+    order = [F.sha2(F.col(text_col), 256), F.col(id_col)]
+    w = Window.partitionBy(stratum_col).orderBy(*order)
+    wn = Window.partitionBy(stratum_col)
+    ranked = df.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    keep = (F.col("_rk") - 1) * den_c < F.col("_n") * num_c
+    return ranked.where(keep).drop("_rk", "_n")
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row gets key = ln(u) / w with u a uniform
+    derived from the CONTENT hash, and the k largest keys win — the
+    probability a row is selected is proportional to its weight, yet
+    the draw is a pure function of the data (reproducible across runs,
+    engines, partitionings; duplicate content draws the same u, the
+    property seeded RNG sampling cannot give).
+
+    Scale shape: map-only key computation, then a global top-k —
+    Spark's sort+limit plans as TakeOrderedAndProject (per-partition
+    partial top-k, only k rows per partition reach the driver-side
+    merge), NOT a full sort shuffle.
+
+    Float policy (the house parity protocol): the key is rounded to 6
+    decimals and ties break on ``id_col``, so rank order is stable
+    under last-ulp ln() differences between engines. Rows with
+    non-positive or null weight are excluded (they have zero selection
+    probability; -inf keys would poison the sort).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (
+        F.conv(F.substring(F.sha2(F.col(text_col), 256), 1, 8), 16, 10).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn(key_col, key)
+        .orderBy(F.col(key_col).desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -389,3 +389,86 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     assert zh_p <= 10 and zh_s <= 10   # z-order prunes BOTH dims (meas. 8 / 6)
     assert lh_p <= 2                   # linear is perfect on its sort col...
     assert lh_s == 16                  # ...and useless on the other
+
+
+# ---- mixture + weighted sampling -------------------------------------
+
+def test_mixture_exact_per_stratum_counts(corpus):
+    from chunker_spark.ops.curation import mixture_sample
+
+    out = mixture_sample(
+        corpus, "lang", {"en": (1, 2), "de": (1, 1)}, default=(0, 1)
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    n_en = sum(1 for r in corpus.collect() if r.lang == "en")
+    n_de = sum(1 for r in corpus.collect() if r.lang == "de")
+    assert by_lang["en"] == -(-n_en // 2)  # ceil(n/2)
+    assert by_lang["de"] == n_de           # (1,1) keeps all
+
+
+def test_mixture_default_and_validation(corpus):
+    from chunker_spark.ops.curation import mixture_sample
+
+    # default (1,1): unlisted strata survive whole
+    out = mixture_sample(corpus, "lang", {"en": (0, 1)}, default=(1, 1)).collect()
+    assert all(r.lang == "de" for r in out)
+    assert len(out) == sum(1 for r in corpus.collect() if r.lang == "de")
+    with pytest.raises(ValueError, match="quota"):
+        mixture_sample(corpus, "lang", {"en": (3, 2)})
+    with pytest.raises(ValueError, match="default"):
+        mixture_sample(corpus, "lang", {}, default=(1, 0))
+
+
+def test_mixture_deterministic_and_nested_in_stratified(corpus):
+    """Same spec twice -> same id set; a uniform mixture equals
+    stratified_sample with that fraction (the mixture generalizes it)."""
+    from chunker_spark.ops.curation import mixture_sample, stratified_sample
+
+    spec = {"en": (1, 3), "de": (1, 3)}
+    a = {r.doc_id for r in mixture_sample(corpus, "lang", spec).collect()}
+    b = {r.doc_id for r in mixture_sample(corpus, "lang", spec).collect()}
+    c = {r.doc_id for r in stratified_sample(corpus, ["lang"], 1, 3).collect()}
+    assert a == b == c
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    """Statistical contract: over many distinct-content rows, heavy rows
+    (weight 9) must be selected ~9x as often as light rows (weight 1)
+    when sampling ~half the corpus. Deterministic draw, so the test is
+    exact-replay stable."""
+    from chunker_spark.ops.curation import weighted_sample
+
+    rows = [(i, f"unique document body number {i}", 9 if i % 2 else 1)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, w int")
+    got = weighted_sample(df, k=1000, weight_col="w").collect()
+    heavy = sum(1 for r in got if r.w == 9)
+    light = 1000 - heavy
+    # the draw is deterministic (content-hash uniforms), so the split
+    # is exactly reproducible: 813/187 with this corpus — a 4.3:1 pull
+    # toward the 9x-weighted rows at 50% draw depth (at that depth most
+    # heavy rows are already in, so the ratio is depth-compressed, not
+    # 9:1). Band, not pin, so cosmetic text edits don't break it.
+    assert 4 * light < heavy, (heavy, light)
+    assert 780 <= heavy <= 880, (heavy, light)
+    # determinism + stability under repartition
+    again = weighted_sample(df.repartition(13), k=1000, weight_col="w").collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in got}
+
+
+def test_weighted_sample_duplicate_content_and_validation(spark):
+    """Duplicate content draws the SAME uniform (the anti-leakage
+    property): with equal weights, two identical texts share their
+    sample_key; non-positive/null weights are excluded, never -inf."""
+    from chunker_spark.ops.curation import weighted_sample
+
+    rows = [(1, "twin", 5), (2, "twin", 5), (3, "other", 5),
+            (4, "zero-w", 0), (5, "neg-w", -3), (6, None if False else "nullw", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, w int")
+    got = {r.doc_id: r.sample_key for r in weighted_sample(df, k=10, weight_col="w").collect()}
+    assert got[1] == got[2]            # same content, same key
+    assert {4, 5, 6}.isdisjoint(got)   # zero/negative/null weight: out
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, k=0, weight_col="w")

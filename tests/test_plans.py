@@ -390,3 +390,65 @@ def test_boilerplate_text_never_shuffles(spark):
     assert exchange_blocks, plan  # the df aggregate must really shuffle
     for b in exchange_blocks:
         assert "text#" not in b and "_bp_line" not in b, b
+
+
+def test_mixture_sample_single_exchange(spark):
+    """doc_mixture: the per-source rank+count windows and the CASE quota
+    share ONE hash Exchange on the stratum — the quota lookup adds no
+    join, no shuffle."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_doc_mixture(spark, SF), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_weighted_sample_is_partial_topk_not_full_sort(spark):
+    """doc_weighted_sample: the global top-k plans as
+    TakeOrderedAndProject — per-partition partial top-k feeding a
+    driver-side merge of k rows — with NO sort Exchange (rangepartitioning
+    would mean a full distributed sort of the corpus for 100 rows)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_doc_weighted_sample(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Catalyst's runtime row-group pruning: a selective dimension
+    filter on orders injects a BloomFilter aggregate whose might_contain
+    guards the lineitem side of the shuffle join — scan rows that can't
+    match die before the Exchange. This is free plan quality at 100 TB
+    (the o_orderkey bloom replaces a full-fact shuffle of misses); the
+    audit pins that our session config keeps it ON and the plan shape
+    triggers it."""
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # at sf0.001 the fact scan is far below the default 10GB
+        # application-side threshold that gates injection in production
+        # (where it would fire unaided) — drop it so the plan shape is
+        # testable at toy scale
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join shape
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = _plan(joined, "formatted")
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan.lower() or "BloomFilterAggregate" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
