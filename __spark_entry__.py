@@ -2036,7 +2036,7 @@ def q_doc_weighted_sample(spark, sf):
 SQL_DOC_WEIGHTED_SAMPLE = """
 SELECT doc_id, n_chars,
        round(ln((('0x' || substr(sha256(text), 1, 8))::BIGINT + 0.5) / 4294967296.0)
-             / n_chars, 6) AS sample_key
+             / n_chars, 6) + 0.0 AS sample_key
 FROM documents
 ORDER BY sample_key DESC, doc_id
 LIMIT 100

@@ -176,7 +176,9 @@ def weighted_sample(
         F.conv(F.substring(F.sha2(F.col(text_col), 256), 1, 8), 16, 10).cast("long")
         + F.lit(0.5)
     ) / F.lit(float(1 << 32))
-    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    # + 0.0 canonicalizes IEEE negative zero: a key in (-5e-7, 0)
+    # rounds to -0.0, which engines render/hash differently from 0.0
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6) + F.lit(0.0)
     return (
         df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
         .withColumn(key_col, key)

@@ -1,6 +1,8 @@
 """End-to-end training-data curation walkthrough over the documents
-corpus: quality filter → PII scrub → decontaminate → dedup (exact +
-near) → language-stratified sample → sequence packing.
+corpus: quality filter → PII scrub → boilerplate-line removal →
+decontaminate → dedup (exact + near) → language-stratified sample →
+source mixture weighting → weighted curriculum seed → sequence
+packing.
 
 One runnable script composing the `ops/` + `functions/text` surface
 the way a pretraining-data pipeline does, in the order a real pipeline
@@ -28,7 +30,12 @@ from chunker_spark.functions.text import (
     redact_pii,
     token_count,
 )
-from chunker_spark.ops.curation import stratified_sample
+from chunker_spark.ops.boilerplate import remove_boilerplate_lines
+from chunker_spark.ops.curation import (
+    mixture_sample,
+    stratified_sample,
+    weighted_sample,
+)
 from chunker_spark.ops.dedup import exact_dedup, minhash_lsh_pairs
 from chunker_spark.ops.decontaminate import ngram_contamination
 from chunker_spark.ops.graph import dedup_clusters
@@ -64,6 +71,16 @@ def main() -> None:
     # 2. PII scrub (map-only redaction chain)
     clean = kept.select("doc_id", "lang", redact_pii("text").alias("text"))
 
+    # 2b. boilerplate-line removal (CCNet-style): strip lines shared by
+    # >= 2 documents; a doc whose every line was boilerplate drops out.
+    # Only (hash, id, pos) ints shuffle — the text never does.
+    clean = (
+        remove_boilerplate_lines(clean, min_docs=2)
+        .where(F.col("clean_text") != "")
+        .select("doc_id", "lang", F.col("clean_text").alias("text"))
+    )
+    out["after_boilerplate"] = clean.count()
+
     # 3. decontamination vs a (here: planted) eval set — broadcast grams
     evalset = docs.where(F.col("doc_id") < 5).select("text")
     contam = ngram_contamination(clean, evalset, n=8)
@@ -95,8 +112,29 @@ def main() -> None:
     out["eval_shard_docs"] = eval_shard.count()
     out["train_docs"] = train.count()
 
+    # 5b. source mixture weighting on the training side: keep all of
+    # src0, half of src1, a tenth of everything else (exact rational
+    # fractions — the corpus-mixing step of a pretraining recipe). The
+    # source column lives on the raw table; join it back by id (the
+    # text column stays put).
+    src = docs.select("doc_id", "source")
+    mixed = mixture_sample(
+        train.join(src, "doc_id"),
+        "source",
+        {"src0": (1, 1), "src1": (1, 2)},
+        default=(1, 10),
+    ).drop("source")
+    out["train_docs_after_mixture"] = mixed.count()
+
+    # 5c. deterministic weighted curriculum seed: the 32 documents with
+    # the highest length-weighted A-ES draw (reproducible across runs)
+    seed = weighted_sample(
+        mixed.withColumn("n_tokens", token_count("text")), k=32, weight_col="n_tokens"
+    )
+    out["curriculum_seed_docs"] = seed.count()
+
     # 6. pack the training survivors into 512-token bins
-    packed = pack_documents(train, token_count("text"), budget=512, n_shards=4)
+    packed = pack_documents(mixed, token_count("text"), budget=512, n_shards=4)
     summary = packing_summary(packed, budget=512).collect()
     out["packed_bins"] = int(sum(r["bins_used"] for r in summary))
     out["packed_tokens"] = int(sum(r["total_tokens"] for r in summary))
