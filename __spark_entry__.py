@@ -1515,6 +1515,47 @@ FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_events_asof_next(spark, sf):
+    """FORWARD as-of join (`ops/asof.py direction='forward'`): every
+    purchase matched to the SAME user's EARLIEST click at-or-after the
+    purchase instant — the "what did they do next" question. Same
+    union+LOCF engine plan read in reverse time order (one shuffle, no
+    non-equi pair blowup); the oracle is DuckDB's native ASOF JOIN with
+    the inequality flipped (l.ts <= r.ts) — a different algorithm
+    computing the same relation."""
+    from chunker_spark.ops.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    j = asof_join(purchases, clicks, on="user_id", how="inner", direction="forward")
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_r").alias("click_ts"),
+        F.col("click_event_id_r").alias("click_event_id"),
+        (
+            F.unix_micros(F.col("ts_r").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("wait_us"),
+    )
+
+
+SQL_EVENTS_ASOF_NEXT = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT user_id, ts, event_id AS click_event_id FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS click_ts, r.click_event_id,
+       epoch_us(r.ts) - epoch_us(l.ts) AS wait_us
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
 def q_events_value_tiers(spark, sf):
     """Range (interval) join: events banded into value tiers via the
     bucketized equi-join of ops.ranges — Catalyst would execute the
@@ -2370,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wal2json_parse": q_wal2json_parse,
         "canal_parse": q_canal_parse,
         "events_asof_click": q_events_asof_click,
+        "events_asof_next": q_events_asof_next,
         "events_value_tiers": q_events_value_tiers,
         "events_type_pivot": q_events_type_pivot,
         "events_moving_avg": q_events_moving_avg,
@@ -2435,6 +2477,7 @@ def oracle_sql() -> dict[str, str]:
         "wal2json_parse": _sql_wal2json_parse(),
         "canal_parse": _sql_canal_parse(),
         "events_asof_click": SQL_EVENTS_ASOF_CLICK,
+        "events_asof_next": SQL_EVENTS_ASOF_NEXT,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,
         "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
         "events_moving_avg": SQL_EVENTS_MOVING_AVG,

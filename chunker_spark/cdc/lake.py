@@ -254,7 +254,9 @@ class LakeTable:
             .select(*[F.col(f.name) for f in TABLE_SCHEMA.fields])
         )
 
-    def changes(self, since: int, until: int | None = None) -> DataFrame:
+    def changes(
+        self, since: int, until: int | None = None, include_preimages: bool = False
+    ) -> DataFrame:
         """Change-data-feed read: net row-level changes between commit
         ``since`` (exclusive) and ``until`` (inclusive; None = current)
         — the Iceberg/Delta incremental-consumption surface, so a
@@ -268,6 +270,14 @@ class LakeTable:
         data never shuffles. ``_change_type`` is insert /
         update_postimage / delete; delete rows carry the key with null
         payload.
+
+        ``include_preimages=True`` is full Delta-CDF parity for
+        consumers that need retractions (windowed aggregates, joins
+        maintained incrementally): every update additionally emits an
+        ``update_preimage`` row with the OLD payload, and delete rows
+        carry the OLD payload instead of nulls. Same scale shape — the
+        old payload is joined back from the ``since`` state for the
+        changed keys only.
         """
         new_res = resolve_state(self.read_files(at=until), drop_tombstones=False)
         old_res = resolve_state(self.read_files(at=since), drop_tombstones=False)
@@ -292,6 +302,24 @@ class LakeTable:
         upserts = new_res.join(visible, list(KEY_COLS), "inner").select(
             *payload_cols, F.col("seq"), F.col("_change_type")
         )
+        if include_preimages:
+            # OLD payloads, joined back for the changed keys only: the
+            # update_preimage companion rows plus the pre-delete values
+            # on delete rows (Delta CDF emits both; a retraction-based
+            # consumer subtracts the preimage and adds the postimage)
+            pre_keys = changed.where(
+                F.col("_change_type").isin("update_postimage", "delete")
+            ).select(*KEY_COLS, "_change_type")
+            old_payloads = old_res.join(pre_keys, list(KEY_COLS), "inner")
+            preimages = old_payloads.where(
+                F.col("_change_type") == "update_postimage"
+            ).select(
+                *payload_cols, F.col("seq"), F.lit("update_preimage").alias("_change_type")
+            )
+            deletes = old_payloads.where(F.col("_change_type") == "delete").select(
+                *payload_cols, F.col("seq"), F.col("_change_type")
+            )
+            return upserts.unionByName(preimages).unionByName(deletes)
         deletes = changed.where(F.col("_change_type") == "delete").select(
             *KEY_COLS,
             *[

@@ -21,6 +21,15 @@ is what makes the match inclusive, and DuckDB's ``ASOF JOIN``
 
 ``tolerance_s`` bounds staleness: matches older than the tolerance are
 nulled out (pandas ``merge_asof(tolerance=...)`` parity).
+
+``direction`` selects which neighbour matches (pandas parity):
+``backward`` (default — latest right at-or-before), ``forward``
+(earliest right at-or-after; the same window read in reverse time
+order), ``nearest`` (whichever of the two is closer, ties to
+backward). ``nearest`` computes both carried columns over the SAME
+hash partitioning — one Exchange, two in-partition sorts — then picks
+per row; tolerance is applied to each candidate before the pick, as
+pandas does.
 """
 
 from __future__ import annotations
@@ -39,9 +48,11 @@ def asof_join(
     tolerance_s: float | None = None,
     suffix: str = "_r",
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: latest right row with ``right_ts <=
-    left_ts`` per key.
+    """As-of join: per key, the nearest right row at-or-before
+    (``direction='backward'``), at-or-after (``'forward'``), or on
+    either side (``'nearest'``, ties to backward) of each left row.
 
     Returns every left column, plus each of ``right_cols`` (default:
     all non-key right columns) as ``<col><suffix>``, plus
@@ -52,6 +63,10 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward'|'forward'|'nearest', got {direction!r}"
+        )
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys]
     if right_ts not in right_cols:
@@ -61,7 +76,10 @@ def asof_join(
     # <col><suffix> next to the left columns — silent collisions would
     # surface much later as ambiguous-reference errors (or worse, a
     # wrong column silently read). Fail here with the offending names.
-    reserved = {"_asof_ts", "_asof_tag", "_asof_payload", "_asof_match"}
+    reserved = {
+        "_asof_ts", "_asof_tag", "_asof_payload", "_asof_match",
+        "_asof_match_b", "_asof_match_f",
+    }
     bad = reserved & set(left.columns)
     if bad:
         raise ValueError(f"asof_join: left columns {sorted(bad)} collide with reserved _asof_* names")
@@ -93,23 +111,60 @@ def asof_join(
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     u = l.unionByName(r.select(*l.columns))
 
-    w = (
+    # both windows hash-partition on the SAME keys — 'nearest' pays one
+    # Exchange and two in-partition sorts, never a second shuffle. At
+    # equal timestamps right rows (tag 0) sort before left rows under
+    # BOTH orderings, which is what makes each direction inclusive.
+    last_carried = F.last("_asof_payload", ignorenulls=True)
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    wb = (
         Window.partitionBy(*keys)
-        .orderBy("_asof_ts", "_asof_tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(F.col("_asof_ts").asc(), F.col("_asof_tag").asc())
+        .rowsBetween(*frame)
     )
-    carried = u.withColumn("_asof_match", F.last("_asof_payload", ignorenulls=True).over(w))
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_asof_ts").desc(), F.col("_asof_tag").asc())
+        .rowsBetween(*frame)
+    )
+    carried = u
+    if direction in ("backward", "nearest"):
+        carried = carried.withColumn("_asof_match_b", last_carried.over(wb))
+    if direction in ("forward", "nearest"):
+        carried = carried.withColumn("_asof_match_f", last_carried.over(wf))
     out = carried.where(F.col("_asof_tag") == 1)
 
-    match = F.col("_asof_match")
-    if tolerance_s is not None:
-        # via TIMESTAMP: a TIMESTAMP_NTZ column casts to timestamp but
-        # not directly to double under ANSI; the difference is
-        # timezone-invariant either way
-        as_s = lambda c: c.cast("timestamp").cast("double")
-        stale = as_s(F.col("_asof_ts")) - as_s(match[right_ts]) > float(tolerance_s)
-        match = F.when(match.isNotNull() & ~stale, F.col("_asof_match"))
-        out = out.withColumn("_asof_match", match)
+    # via TIMESTAMP: a TIMESTAMP_NTZ column casts to timestamp but
+    # not directly to double under ANSI; the difference is
+    # timezone-invariant either way
+    as_s = lambda c: c.cast("timestamp").cast("double")
+    lts = as_s(F.col("_asof_ts"))
+
+    def gated(match, dist):
+        # tolerance applies per candidate BEFORE the nearest pick
+        # (pandas semantics: a too-far backward match must not shadow a
+        # within-tolerance forward one)
+        if tolerance_s is None:
+            return match
+        return F.when(match.isNotNull() & (dist <= float(tolerance_s)), match)
+
+    if direction == "backward":
+        m = F.col("_asof_match_b")
+        match = gated(m, lts - as_s(m[right_ts]))
+    elif direction == "forward":
+        m = F.col("_asof_match_f")
+        match = gated(m, as_s(m[right_ts]) - lts)
+    else:
+        b = gated(F.col("_asof_match_b"), lts - as_s(F.col("_asof_match_b")[right_ts]))
+        f = gated(F.col("_asof_match_f"), as_s(F.col("_asof_match_f")[right_ts]) - lts)
+        db, df = lts - as_s(b[right_ts]), as_s(f[right_ts]) - lts
+        match = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when(df < db, f)  # strict: equal distances tie to backward
+            .otherwise(b)
+        )
+    out = out.withColumn("_asof_match", match)
     if how == "inner":
         out = out.where(F.col("_asof_match").isNotNull())
     proj = [*left.columns]

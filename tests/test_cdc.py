@@ -809,3 +809,48 @@ def test_fingerprint_store_update_plan_content_free(spark, tmp_path):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "content#" not in line, line
+
+
+def test_changes_with_preimages_full_delta_cdf_parity(spark, tmp_path):
+    """changes(include_preimages=True): every update emits an
+    update_preimage row whose payload IS the old resolved state, delete
+    rows carry the pre-delete payload (not nulls), inserts are
+    unchanged — the retraction surface an incrementally-maintained
+    aggregate needs. Checked against the replay oracle's two states."""
+    events = list(gen_events_local(SPEC, 300))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4)
+    apply_batch(lake, _events_df(spark, events[:150]), "c0", params=PARAMS)
+    apply_batch(lake, _events_df(spark, events[150:300]), "c1", params=PARAMS)
+
+    old = {(r["repo"], r["path"]): r["content_sha256"] for r in state_rows(replay(events[:150]))}
+    new = {(r["repo"], r["path"]): r["content_sha256"] for r in state_rows(replay(events))}
+
+    rows = lake.changes(since=0, include_preimages=True).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], {})[(r["repo"], r["path"])] = r["content_sha256"]
+
+    # every update_postimage key has exactly one preimage companion,
+    # and the preimage payload is the OLD state's content
+    posts = by_type.get("update_postimage", {})
+    pres = by_type.get("update_preimage", {})
+    assert set(pres) == set(posts)
+    for k, sha in pres.items():
+        assert sha == old[k], k
+        assert posts[k] == new[k], k
+    # deletes carry the pre-delete payload
+    dels = by_type.get("delete", {})
+    assert set(dels) == old.keys() - new.keys()
+    for k, sha in dels.items():
+        assert sha == old[k] and sha is not None, k
+    # inserts unchanged vs the default path
+    ins = by_type.get("insert", {})
+    for k, sha in ins.items():
+        assert k not in old and sha == new[k]
+    # the default path is untouched: same visible change set, null deletes
+    plain = lake.changes(since=0).collect()
+    assert {(r["repo"], r["path"], r["_change_type"]) for r in plain} == {
+        (r["repo"], r["path"], r["_change_type"])
+        for r in rows
+        if r["_change_type"] != "update_preimage"
+    }

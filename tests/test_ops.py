@@ -733,3 +733,75 @@ def test_pii_redaction_and_counts(spark):
     assert out[1]["red"] == "no pii at all here"
     assert sum((out[1]["n_email"], out[1]["n_ip"], out[1]["n_ssn"])) == 0
     assert "[IP]" in out[2]["red"]
+
+
+def test_asof_join_directions_match_pandas(spark):
+    """forward and nearest directions are value-equivalent to pandas
+    merge_asof on randomized data, with and without tolerance (which
+    must gate each candidate BEFORE the nearest pick)."""
+    import datetime
+
+    import pandas as pd
+
+    from chunker_spark.ops.asof import asof_join
+
+    rng = __import__("random").Random(7)
+    base = datetime.datetime(2024, 5, 1)
+
+    def mk(n, id_prefix):
+        rows = [
+            {"k": rng.randint(0, 5),
+             "ts": base + datetime.timedelta(seconds=rng.randint(0, 50_000)),
+             "rid": f"{id_prefix}{i}"}
+            for i in range(n)
+        ]
+        return pd.DataFrame(rows).drop_duplicates(["k", "ts"]).reset_index(drop=True)
+
+    lpdf, rpdf = mk(300, "L"), mk(200, "R")
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf.rename(columns={"rid": "rv"}))
+
+    for direction in ("forward", "nearest"):
+        for tol in (None, 3600):
+            got_df = asof_join(
+                left, right, on="k", tolerance_s=tol, how="left", direction=direction
+            ).toPandas()
+            got = {
+                r.rid: (None if pd.isna(r.rv_r) else r.rv_r)
+                for r in got_df.itertuples()
+            }
+            exp_pdf = pd.merge_asof(
+                lpdf.sort_values("ts"),
+                rpdf.rename(columns={"rid": "rv", "ts": "rts"}).sort_values("rts"),
+                left_on="ts", right_on="rts", by="k", direction=direction,
+                tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+            )
+            exp = {
+                r.rid: (None if pd.isna(r.rv) else r.rv) for r in exp_pdf.itertuples()
+            }
+            assert got == exp, (direction, tol)
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    from pyspark.sql import Row
+
+    from chunker_spark.ops.asof import asof_join
+
+    import datetime
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([Row(k=1, ts=t(10))])
+    right = spark.createDataFrame(
+        [Row(k=1, ts=t(7), v="past"), Row(k=1, ts=t(13), v="future")]
+    )
+    r = asof_join(left, right, on="k", direction="nearest").first()
+    assert r.v_r == "past"  # 3s either way: backward wins the tie
+    r2 = asof_join(left, right, on="k", direction="nearest", tolerance_s=2).first()
+    assert r2.v_r is None   # both candidates out of tolerance
+    # tolerance gates per candidate: backward too far, forward in range
+    right2 = spark.createDataFrame(
+        [Row(k=1, ts=t(1), v="stale-past"), Row(k=1, ts=t(13), v="future")]
+    )
+    r3 = asof_join(left, right2, on="k", direction="nearest", tolerance_s=5).first()
+    assert r3.v_r == "future"
+    with __import__("pytest").raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", direction="sideways")
