@@ -140,6 +140,42 @@ def minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 1):
     return _minhash
 
 
+def band_rows(
+    sig_df: DataFrame, id_cols: list[str], bands: int, rows_per_band: int,
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Fixed-width LSH band rows (id..., band, bkt) from a signature
+    frame — the full signature array never enters the candidate
+    shuffle; it rejoins at verify. Shared by the batch pair op and the
+    incrementally-maintained signature store."""
+    return sig_df.select(
+        *id_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col(sig_col), i * rows_per_band + 1, rows_per_band)
+                        ).alias("bkt"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(*id_cols, "bb.band", "bb.bkt")
+
+
+def jaccard_est_expr(sig_a: str = "sig_a", sig_b: str = "sig_b"):
+    """Signature-level Jaccard estimate: matching-position share of two
+    equal-length MinHash arrays (rounded to the house 6 decimals)."""
+    zipped = F.arrays_zip(sig_a, sig_b)
+    jacc = (
+        F.size(zipped) - F.size(F.filter(zipped, lambda s: s[sig_a] != s[sig_b]))
+    ) / F.size(F.col(sig_a))
+    return F.round(jacc.cast("double"), 6)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -176,24 +212,7 @@ def minhash_lsh_pairs(
     sig = df.select(
         F.col(id_col).alias("id"), minhash_udf(num_hashes, shingle_k)(F.col(text_col)).alias("sig")
     ).localCheckpoint(eager=True)
-    # Band rows are fixed-width (id, band, bkt) — the full signature
-    # array never enters the candidate shuffle; it rejoins at verify.
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
-                        ).alias("bkt"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bkt")
+    banded = band_rows(sig, ["id"], bands, rows_per_band)
     if max_bucket is not None:
         banded = _cap_hot_buckets(banded, ["band", "bkt"], max_bucket, "minhash_lsh_pairs")
     cand = (
@@ -210,12 +229,8 @@ def minhash_lsh_pairs(
     withsigs = cand.join(
         sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
     ).join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
-    jacc = (
-        F.size(F.arrays_zip("sig_a", "sig_b"))
-        - F.size(F.filter(F.arrays_zip("sig_a", "sig_b"), lambda s: s["sig_a"] != s["sig_b"]))
-    ) / F.size(F.col("sig_a"))
     return (
-        withsigs.withColumn("jaccard_est", F.round(jacc.cast("double"), 6))
+        withsigs.withColumn("jaccard_est", jaccard_est_expr())
         .where(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )

@@ -142,3 +142,179 @@ class FingerprintStore:
 
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return {"applied": True, "from": last, "to": cur}
+
+
+# ---- incrementally-maintained MinHash signatures (near-dup) ----------
+
+
+def update_signature_store(
+    store: DataFrame,
+    changes: DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    content_col: str = "content",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 1,
+) -> DataFrame:
+    """Apply one CDF interval to a (key..., sig) MinHash-signature
+    store. Same retraction discipline as the fingerprint store; the
+    expensive Pandas-UDF signature computation runs over the INTERVAL's
+    postimages only — at 100 TB that is the difference between
+    re-shingling a corpus nightly and re-shingling a batch."""
+    from .dedup import minhash_udf
+
+    keys = list(key_cols)
+    upserts = changes.where(F.col("_change_type") != "delete").select(
+        *keys,
+        minhash_udf(num_hashes, shingle_k, seed)(F.col(content_col)).alias("sig"),
+    )
+    touched = changes.select(*keys).distinct()
+    survivors = store.join(F.broadcast(touched), on=keys, how="left_anti")
+    return survivors.unionByName(upserts)
+
+
+def near_dup_pairs_from_store(
+    store: DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    probe: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs from the signature store alone — the corpus
+    text is never read. With ``probe`` (a frame of key columns, e.g.
+    the latest CDF interval's upserted keys) only pairs INVOLVING a
+    probe key are generated: probe-side band rows join the full store's
+    band index, so the per-refresh cost is O(interval x bucket width),
+    not O(corpus^2) — the incremental query an ingest pipeline runs
+    after every commit ("which existing documents does this batch
+    near-duplicate?").
+
+    Returns (key_a, key_b, jaccard_est) where each key is the
+    unit-separator join of ``key_cols`` and key_a < key_b.
+    """
+    from .dedup import band_rows, jaccard_est_expr
+
+    rows_per_band = num_hashes // bands
+    keys = list(key_cols)
+    tagged = store.select(
+        F.concat_ws("\x1f", *keys).alias("id"), F.col("sig")
+    )
+    banded = band_rows(tagged, ["id"], bands, rows_per_band)
+    if probe is None:
+        left = banded
+    else:
+        probe_ids = probe.select(F.concat_ws("\x1f", *keys).alias("id")).distinct()
+        left = banded.join(F.broadcast(probe_ids), "id", "left_semi")
+    cand = (
+        left.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkt") == F.col("r.bkt"))
+            & (F.col("l.id") != F.col("r.id")),
+        )
+        # normalize so a pair of two probe keys appears once
+        .select(
+            F.least("l.id", "r.id").alias("id_a"),
+            F.greatest("l.id", "r.id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    withsigs = cand.join(
+        tagged.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(tagged.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+    return (
+        withsigs.withColumn("jaccard_est", jaccard_est_expr())
+        .where(F.col("jaccard_est") >= threshold)
+        .select(F.col("id_a").alias("key_a"), F.col("id_b").alias("key_b"), "jaccard_est")
+    )
+
+
+class SignatureStore:
+    """Parquet-persisted MinHash-signature store with exactly-once CDF
+    interval application — the near-dup sibling of `FingerprintStore`
+    (same JSON-sidecar ledger, atomic cutover, generation GC)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: tuple[str, ...] = ("repo", "path"),
+        content_col: str = "content",
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle_k: int = 5,
+        seed: int = 1,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_cols = tuple(key_cols)
+        self.content_col = content_col
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_k = shingle_k
+        self.seed = seed
+        os.makedirs(path, exist_ok=True)
+
+    _state_file = FingerprintStore._state_file
+    last_applied = FingerprintStore.last_applied
+    _data_dir = FingerprintStore._data_dir
+
+    def read(self) -> DataFrame:
+        last = self.last_applied()
+        if last is None:
+            schema = ", ".join(
+                [f"{k} string" for k in self.key_cols] + ["sig array<bigint>"]
+            )
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(self._data_dir(last))
+
+    def refresh(self, lake) -> dict:
+        """Advance to the lake's current commit; bootstrap signatures
+        the full resolved table once, then per-interval maintenance
+        only. Returns {'applied': bool, 'from': ..., 'to': ...}."""
+        from .dedup import minhash_udf
+
+        cur = lake.current_commit()["commit_seq"]
+        last = self.last_applied()
+        if last is not None and cur <= last:
+            return {"applied": False, "from": last, "to": cur}
+        keys = list(self.key_cols)
+        mk_sig = minhash_udf(self.num_hashes, self.shingle_k, self.seed)
+        if last is None:
+            new_store = lake.read().select(
+                *keys, mk_sig(F.col(self.content_col)).alias("sig")
+            )
+        else:
+            new_store = update_signature_store(
+                self.read(),
+                lake.changes(since=last, until=cur),
+                key_cols=self.key_cols,
+                content_col=self.content_col,
+                num_hashes=self.num_hashes,
+                shingle_k=self.shingle_k,
+                seed=self.seed,
+            )
+        target = self._data_dir(cur)
+        new_store.write.mode("overwrite").parquet(target)
+        tmp = f"{self._state_file}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"last_commit": cur}, f)
+        os.replace(tmp, self._state_file)  # atomic cutover, crash-safe
+        for d in os.listdir(self.path):
+            if d.startswith("store-") and d != f"store-{cur:012d}":
+                import shutil
+
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        return {"applied": True, "from": last, "to": cur}
+
+    def near_dups(self, threshold: float = 0.6, probe: DataFrame | None = None) -> DataFrame:
+        return near_dup_pairs_from_store(
+            self.read(),
+            key_cols=self.key_cols,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
+            threshold=threshold,
+            probe=probe,
+        )

@@ -854,3 +854,94 @@ def test_changes_with_preimages_full_delta_cdf_parity(spark, tmp_path):
         for r in rows
         if r["_change_type"] != "update_preimage"
     }
+
+
+def test_signature_store_incremental_equals_recompute(spark, tmp_path):
+    """The near-dup sibling of the fingerprint store: a parquet-
+    persisted (key, minhash sig) store maintained ONLY from CDF
+    intervals equals a full signature recompute of the resolved table
+    after every commit (signatures are deterministic given the seed),
+    and a refresh at the same commit is a no-op."""
+    from chunker_spark.ops.dedup import minhash_udf
+    from chunker_spark.ops.incremental import SignatureStore
+
+    events = list(gen_events_local(SPEC, 180))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4, compact_threshold=3)
+    store = SignatureStore(spark, str(tmp_path / "sigs"), num_hashes=32, bands=8)
+
+    mk_sig = minhash_udf(32, 5, 1)
+    for i, lo in enumerate(range(0, 180, 60)):
+        apply_batch(lake, _events_df(spark, events[lo : lo + 60]), f"sg{i}", params=PARAMS)
+        assert store.refresh(lake)["applied"] is True
+        assert store.refresh(lake)["applied"] is False
+        got = {
+            (r["repo"], r["path"]): tuple(r["sig"])
+            for r in store.read().collect()
+        }
+        want = {
+            (r["repo"], r["path"]): tuple(r["sig"])
+            for r in lake.read()
+            .select("repo", "path", mk_sig(F.col("content")).alias("sig"))
+            .collect()
+        }
+        assert got == want, f"commit interval {i}"
+
+
+def test_signature_store_probe_finds_cross_commit_near_dups(spark, tmp_path):
+    """The incremental near-dup query: commit 2 ingests a near-copy of
+    a commit-1 document; probing the store with ONLY the interval's
+    upserted keys surfaces the (new, old) pair — without re-shingling
+    the old corpus — and the pair agrees with the batch
+    minhash_lsh_pairs answer over the full resolved table."""
+    import pandas as pd
+
+    from chunker_spark.cdc import EVENT_SCHEMA
+    from chunker_spark.ops.dedup import minhash_lsh_pairs
+    from chunker_spark.ops.incremental import SignatureStore
+
+    base_text = ("the quick brown fox jumps over the lazy dog again and again " * 8)
+
+    def ev(seq, path, content):
+        return {
+            "repo": "r1", "path": path, "commit": f"c{seq}", "language": "text",
+            "lang": None, "branch": "main", "op": "U", "seq": seq,
+            "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=seq),
+            "content": content, "schema_ver": 3,
+        }
+
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    store = SignatureStore(spark, str(tmp_path / "sigs"), num_hashes=64, bands=16)
+
+    b1 = [ev(1, "orig.txt", base_text), ev(2, "other.txt", "completely different content " * 20)]
+    pdf1 = pd.DataFrame(b1)[[f.name for f in EVENT_SCHEMA.fields]]
+    apply_batch(lake, spark.createDataFrame(pdf1, EVENT_SCHEMA), "b1", params=PARAMS)
+    store.refresh(lake)
+    prev = store.last_applied()
+
+    near_copy = base_text.replace("lazy", "sleepy", 1)  # one-word edit
+    b2 = [ev(3, "copy.txt", near_copy), ev(4, "fresh.txt", "unrelated new material " * 25)]
+    pdf2 = pd.DataFrame(b2)[[f.name for f in EVENT_SCHEMA.fields]]
+    apply_batch(lake, spark.createDataFrame(pdf2, EVENT_SCHEMA), "b2", params=PARAMS)
+    interval = lake.changes(since=prev)
+    store.refresh(lake)
+
+    probe = interval.where(F.col("_change_type") != "delete").select("repo", "path")
+    pairs = {
+        (r["key_a"], r["key_b"]): r["jaccard_est"]
+        for r in store.near_dups(threshold=0.5, probe=probe).collect()
+    }
+    key = ("r1\x1fcopy.txt", "r1\x1forig.txt")
+    assert key in pairs and pairs[key] >= 0.5
+    # probe mode never pairs two old keys: every pair involves a probe key
+    probe_keys = {"r1\x1fcopy.txt", "r1\x1ffresh.txt"}
+    assert all(a in probe_keys or b in probe_keys for a, b in pairs)
+    # agreement with the batch op over the full resolved state
+    docs = lake.read().select(
+        F.concat_ws("\x1f", "repo", "path").alias("doc_id"), F.col("content").alias("text")
+    )
+    batch_pairs = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.5).collect()
+    }
+    probe_batch = {p for p in batch_pairs if p[0] in probe_keys or p[1] in probe_keys}
+    assert set(pairs) == probe_batch
