@@ -2367,6 +2367,95 @@ FROM customer JOIN spend ON c_custkey = o_custkey
 """
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup (`ops/semdedup.py`, Abbas et al. arXiv:2303.09540):
+    k-means cluster the embeddings (same deterministic 8-lowest-id
+    literal-centroid init as `embedding_kmeans`), then within-cluster
+    pairwise cosine only — a row is a semantic duplicate iff a
+    lower-id row in its cluster reads cosine >= 0.3 (rounded to 6
+    before the compare). Full per-row oracle: verdict, witness id,
+    and max within-cluster cosine for every vector. Plan: map-only
+    assignment (no exchange — centroids are codegen literals), one
+    cluster-keyed self-join, fixed-width verdict aggregate."""
+    from chunker_spark.ops.semdedup import semantic_dedup
+
+    v = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    seed = v.orderBy("vec_id").limit(8).collect()
+    centroids = [(i, list(r["embedding"])) for i, r in enumerate(seed)]
+    return semantic_dedup(v, centroids, threshold=0.3)
+
+
+SQL_SEMDEDUP = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb AS cemb
+      FROM v ORDER BY vec_id LIMIT 8),
+assigned AS (
+  SELECT vec_id, emb, cluster FROM (
+    SELECT v.vec_id, v.emb, c.cid AS cluster,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             round(list_sum(list_transform(list_zip(v.emb, c.cemb),
+                                           x -> (x[1]-x[2])*(x[1]-x[2]))), 6), c.cid) AS rk
+    FROM v CROSS JOIN c)
+  WHERE rk = 1
+),
+pairs AS (
+  SELECT a.vec_id, a.cluster, b.vec_id AS other_id,
+         round(list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1]*x[2]))
+           / (sqrt(list_sum(list_transform(a.emb, x -> x*x)))
+            * sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) AS cos
+  FROM assigned a LEFT JOIN assigned b
+    ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster,
+       (min(CASE WHEN cos >= 0.3 THEN other_id END) IS NOT NULL) AS is_dup,
+       min(CASE WHEN cos >= 0.3 THEN other_id END) AS dup_of,
+       max(cos) + 0.0 AS max_cosine
+FROM pairs GROUP BY vec_id, cluster
+"""
+
+
+def q_doc_windows(spark, sf):
+    """Sliding-window text chunking for embedding/RAG pipelines:
+    every document becomes ceil(len/stride) overlapping windows of up
+    to 256 chars at stride 192 (1/4 overlap), each with its own
+    sha256 — the fixed-window sibling of the content-defined
+    `doc_manifest`. Map-only plan: sequence+explode then substring,
+    zero exchanges; at 100 TB this is a pure scan→scan stage that
+    AQE-parallelizes on input splits."""
+    d = _t(spark, sf, "documents")
+    win, stride = 256, 192
+    exploded = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0), F.length("text") - F.lit(1), F.lit(stride))
+        ).alias("start"),
+    )
+    piece = F.col("text").substr(F.col("start") + F.lit(1), F.lit(win))
+    return exploded.select(
+        "doc_id",
+        F.expr(f"start div {stride}").cast("long").alias("win_id"),
+        F.col("start").cast("long").alias("start"),
+        F.length(piece).cast("long").alias("win_len"),
+        F.sha2(piece.cast("binary"), 256).alias("win_sha256"),
+    )
+
+
+SQL_DOC_WINDOWS = """
+WITH starts AS (
+  SELECT doc_id, text, unnest(range(0, length(text), 192)) AS s FROM documents
+)
+SELECT doc_id,
+       CAST(s // 192 AS BIGINT) AS win_id,
+       CAST(s AS BIGINT) AS start,
+       CAST(length(substr(text, s + 1, 256)) AS BIGINT) AS win_len,
+       sha256(substr(text, s + 1, 256)) AS win_sha256
+FROM starts
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2433,6 +2522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": q_embedding_kmeans,
         "events_scd2": q_events_scd2,
         "customer_value_pctrank": q_customer_value_pctrank,
+        "semdedup": q_semdedup,
+        "doc_windows": q_doc_windows,
     }
 
 
@@ -2502,4 +2593,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": SQL_EMBEDDING_KMEANS,
         "events_scd2": SQL_EVENTS_SCD2,
         "customer_value_pctrank": SQL_CUSTOMER_VALUE_PCTRANK,
+        "semdedup": SQL_SEMDEDUP,
+        "doc_windows": SQL_DOC_WINDOWS,
     }

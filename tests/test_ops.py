@@ -805,3 +805,37 @@ def test_asof_nearest_tie_prefers_backward(spark):
     assert r3.v_r == "future"
     with __import__("pytest").raises(ValueError, match="direction"):
         asof_join(left, right, on="k", direction="sideways")
+
+
+def test_semantic_dedup_cluster_scoped(spark):
+    """SemDeDup semantics on planted 2-D vectors: a near-identical
+    lower-id row in the SAME cluster flags a duplicate (with the
+    witness id); dissimilar same-cluster rows don't; and a
+    near-identical pair straddling a cluster boundary is NOT flagged —
+    the documented SemDeDup trade (cluster-scoped comparison), which
+    is exactly what makes it sub-quadratic."""
+    from chunker_spark.ops.semdedup import semantic_dedup
+
+    centroids = [(0, [1.0, 0.0]), (1, [-1.0, 0.0])]
+    rows = [
+        (1, [1.0, 0.0]),     # c0 anchor
+        (2, [1.0, 0.01]),    # c0, near-dup of 1
+        (3, [1.0, 1.0]),     # c0, cos 0.707 vs 1 -> kept at tau=0.95
+        (4, [0.01, 1.0]),    # lands c0 (closer to +x centroid)
+        (5, [-0.01, 1.0]),   # lands c1 — near-identical to 4, cross-cluster
+        (6, [-1.0, 0.02]),   # c1 anchor
+        (7, [-1.0, 0.019]),  # c1, near-dup of 6
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cluster"], r["is_dup"], r["dup_of"])
+        for r in semantic_dedup(df, centroids, threshold=0.95).collect()
+    }
+    assert got[1] == (0, False, None)
+    assert got[2] == (0, True, 1)
+    assert got[3] == (0, False, None)
+    assert got[4] == (0, False, None)  # same cluster as 1-3, all cos < 0.95
+    assert got[5] == (1, False, None)  # cos ~0.9998 vs id 4 — but other cluster
+    assert got[7] == (1, True, 6)
+    keep = {k for k, (_, d, _) in got.items() if not d}
+    assert keep == {1, 3, 4, 5, 6}  # one representative per semantic group

@@ -452,3 +452,33 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_doc_windows_plan_is_map_only(spark):
+    """Sliding-window chunking must be a pure scan->generate->project
+    stage: zero Exchanges (nothing to shuffle — each window derives
+    from its own input row) and the generate/projection inside
+    whole-stage codegen territory."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_doc_windows(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
+
+
+def test_semdedup_plan_cluster_join_no_cartesian(spark):
+    """SemDeDup's pairwise stage must be the cluster-keyed equi-join —
+    never a cartesian/BNLJ — and the centroid assignment must be
+    exchange-free (literals in codegen). The verdict aggregate's
+    exchange carries fixed-width (id, cluster, ...) rows, not
+    embeddings."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_semdedup(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the final aggregate partitions on the verdict key, embedding-free
+    agg_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l and "id" in l
+    ]
+    assert all("emb" not in l for l in agg_exchanges), plan
