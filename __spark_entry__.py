@@ -692,6 +692,39 @@ FROM documents
 """
 
 
+def q_doc_containment(spark, sf):
+    """Asymmetric containment dedup (`ops/dedup.py::containment_pairs`)
+    on a provable planted invariant: for every document a synthetic
+    partial copy — the first 60% of its words — is planted at
+    doc_id+offset. Every n-gram of a contiguous word-prefix is an
+    n-gram of the original, so containment(copy -> original) is
+    EXACTLY 1.0 for all 500 pairs; Jaccard would read ~0.6 (this is
+    the partial-copy case Jaccard misses). Completeness + exact score
+    both oracle-checked; graded scores on organic pairs are pinned by
+    tests/test_ops.py::test_containment_pairs_brute_force."""
+    from chunker_spark.ops.dedup import containment_pairs
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.col("text"), r"\W+"), lambda w: w != "")
+    prefix = F.concat_ws(
+        " ", F.slice(words, 1, F.ceil(F.size(words) * 0.6).cast("int"))
+    )
+    planted = d.select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), prefix.alias("text")
+    )
+    union = d.unionByName(planted).repartition(spark.sparkContext.defaultParallelism)
+    pairs = containment_pairs(union, n=3, threshold=1.0)
+    return pairs.where(F.col("id_b") - F.col("id_a") == _COPY_OFFSET)
+
+
+SQL_DOC_CONTAINMENT = f"""
+SELECT doc_id AS id_a,
+       doc_id + {{offset}} AS id_b,
+       CAST(1.0 AS DOUBLE) AS containment
+FROM documents
+""".format(offset=_COPY_OFFSET)
+
+
 def q_simhash(spark, sf):
     """SimHash algebraic invariants, SQL-checkable: the hash is a pure
     function of the lowercased word multiset, so reversing word order
@@ -2367,6 +2400,45 @@ FROM customer JOIN spend ON c_custkey = o_custkey
 """
 
 
+def q_events_range_frame(spark, sf):
+    """Time-interval RANGE window frame — the value-range sibling of
+    `events_moving_avg`'s ROWS frame: per event, count + decimal-exact
+    sum of the same user's events in the trailing 60 seconds
+    (inclusive). Order key = integer microseconds (ts is
+    TIMESTAMP_NTZ — cast first), so the frame bound is exact integer
+    arithmetic and RANGE peers (equal timestamps) are
+    engine-identical. One shuffle (partitionBy user); the frame is a
+    two-pointer sweep inside the sorted partition."""
+    ev = _t(spark, sf, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-60_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("ts_us"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_60s"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(20,4)")).over(w).cast("double"), 4
+        ).alias("sum_60s"),
+    )
+
+
+SQL_EVENTS_RANGE_FRAME = """
+WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events)
+SELECT event_id, user_id, ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_60s,
+       round(CAST(sum(CAST(value AS DECIMAL(20,4))) OVER w AS DOUBLE), 4) AS sum_60s
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_semdedup(spark, sf):
     """SemDeDup (`ops/semdedup.py`, Abbas et al. arXiv:2303.09540):
     k-means cluster the embeddings (same deterministic 8-lowest-id
@@ -2523,6 +2595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2": q_events_scd2,
         "customer_value_pctrank": q_customer_value_pctrank,
         "semdedup": q_semdedup,
+        "events_range_frame": q_events_range_frame,
+        "doc_containment": q_doc_containment,
         "doc_windows": q_doc_windows,
     }
 
@@ -2594,5 +2668,7 @@ def oracle_sql() -> dict[str, str]:
         "events_scd2": SQL_EVENTS_SCD2,
         "customer_value_pctrank": SQL_CUSTOMER_VALUE_PCTRANK,
         "semdedup": SQL_SEMDEDUP,
+        "events_range_frame": SQL_EVENTS_RANGE_FRAME,
+        "doc_containment": SQL_DOC_CONTAINMENT,
         "doc_windows": SQL_DOC_WINDOWS,
     }

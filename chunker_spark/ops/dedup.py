@@ -514,3 +514,87 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_ngrams: int | None = None,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """Asymmetric set-CONTAINMENT pairs: C = |g(a) ∩ g(b)| / min(|g(a)|,
+    |g(b)|) >= threshold — the smaller document's share of word-n-grams
+    found in the other. This is the partial-copy detector Jaccard
+    structurally misses: a page embedded verbatim in a 100x larger
+    page has containment 1.0 but Jaccard ~0.01, so no Jaccard
+    threshold catches it without drowning in noise.
+
+    Candidate shape differs from `ngram_jaccard_pairs` on purpose: the
+    size-ratio prune is INVALID here (wildly different sizes are the
+    interesting case), so only the probe side is prefix-truncated —
+    any pair at containment >= t shares a gram inside the SMALLER
+    side's first (|g| - ceil(t*|g|) + 1) sorted grams — while the
+    index side must stay full. Cost is one fixed-width (id, n, gram)
+    index of all grams joined by an equally fixed-width prefix probe;
+    ``max_posting`` caps pathological posting lists (ubiquitous grams)
+    with a logged drop, the same contract as minhash's ``max_bucket``,
+    and ``max_ngrams`` bounds per-document fan-out on unbounded
+    corpora. Verification rejoins the full sorted gram arrays and is
+    exact JVM `array_intersect` work.
+    """
+    grams_udf = _word_ngram_udf(n, max_ngrams)
+    g = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_sort(grams_udf(F.col(text_col))).alias("grams"),
+        )
+        .where(F.size("grams") > 0)
+        .localCheckpoint(eager=True)
+    )
+    sz = F.size("grams")
+    prefix_len = (sz - F.ceil(sz * F.lit(float(threshold))) + 1).cast("int")
+    probe = g.select(
+        "id",
+        sz.alias("n"),
+        F.explode(F.slice("grams", 1, F.greatest(prefix_len, F.lit(1)))).alias("gram"),
+    )
+    index = g.select("id", sz.alias("n"), F.explode("grams").alias("gram"))
+    if max_posting is not None:
+        index = _cap_hot_buckets(index, ["gram"], max_posting, "containment_pairs")
+    cand = (
+        probe.alias("l")
+        .join(
+            index.alias("r"),
+            (F.col("l.gram") == F.col("r.gram"))
+            & (F.col("l.id") != F.col("r.id"))
+            # the prefix bound only covers the smaller side probing the
+            # larger; the symmetric candidate (larger probes smaller)
+            # is redundant, so keep probe-side <= index-side in size,
+            # ties broken on id to keep exactly one direction
+            & (
+                (F.col("l.n") < F.col("r.n"))
+                | ((F.col("l.n") == F.col("r.n")) & (F.col("l.id") < F.col("r.id")))
+            ),
+        )
+        .select(
+            F.least("l.id", "r.id").alias("id_a"),
+            F.greatest("l.id", "r.id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.join(g.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")), "id_a")
+        .join(g.select(F.col("id").alias("id_b"), F.col("grams").alias("gb")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("inter") / F.least(F.size("ga"), F.size("gb")), 6
+            ).cast("double"),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -839,3 +839,50 @@ def test_semantic_dedup_cluster_scoped(spark):
     assert got[7] == (1, True, 6)
     keep = {k for k, (_, d, _) in got.items() if not d}
     assert keep == {1, 3, 4, 5, 6}  # one representative per semantic group
+
+
+def test_containment_pairs_brute_force(spark):
+    """The probe-prefix/full-index containment join must return EXACTLY
+    the pairs a naive all-pairs containment finds (the prefix bound on
+    the smaller side is completeness-preserving), including the
+    asymmetric-size case Jaccard misses: a short doc embedded verbatim
+    in a much longer one reads containment 1.0."""
+    import itertools
+    import random
+
+    from chunker_spark.ops.dedup import containment_pairs
+
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 50))))
+        for i in range(35)
+    ]
+    # plant the Jaccard-blind case: doc 100 = a 6-word slice of doc 0's
+    # text surrounded by nothing else; doc 101 embeds doc 100 in noise
+    ws0 = docs[0][1].split()
+    small = " ".join(ws0[2:8])
+    docs.append((100, small))
+    docs.append((101, small + " " + " ".join(rng.choice(vocab) for _ in range(60))))
+
+    def grams(t):
+        ws = [w for w in t.lower().split() if w]
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    t = 0.6
+    truth = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        ga, gb = grams(ta), grams(tb)
+        if not ga or not gb:
+            continue
+        c = len(ga & gb) / min(len(ga), len(gb))
+        if c >= t:
+            truth[(ia, ib)] = round(c, 6)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, n=3, threshold=t).collect()
+    }
+    assert got == truth
+    assert got[(100, 101)] == 1.0  # verbatim embedding found at 1.0
