@@ -1506,6 +1506,72 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_dms_parse(spark, sf):
+    """AWS DMS wire-format ingestion across the full-load→CDC cutover:
+    ``load`` snapshot rows order at seq 0 by contract (DMS writes each
+    key's snapshot exactly once, before CDC, in coordinates
+    incomparable with transaction ids), CDC rows pack
+    transaction_id*2^20+transaction_record_id (the fixture plants one
+    key twice in one transaction — only the record id resolves LWW),
+    control records dropped, malformed/operation-less payloads
+    diverted to the DLQ in the same scan, then last-writer-wins final
+    state: 3 never-updated keys must survive at snapshot content, 3
+    tombstones must drop. The oracle restates parse + packing + LWW
+    with DuckDB JSON functions."""
+    from chunker_spark.cdc.envelopes import (
+        dms_fixture_path,
+        parse_dms,
+        split_malformed,
+    )
+
+    raw = spark.read.parquet(dms_fixture_path())
+    clean, _dlq = split_malformed(raw, parser=parse_dms)
+    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
+    return (
+        clean.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("repo", "path", "commit", "seq", F.sha2("content", 256).alias("content_sha256"))
+    )
+
+
+def _sql_dms_parse() -> str:
+    from chunker_spark.cdc.envelopes import DMS_PACK_SHIFT, dms_fixture_path
+
+    path = dms_fixture_path()  # ensure the fixture exists for DuckDB
+    shift = 1 << DMS_PACK_SHIFT
+    return f"""
+WITH raw AS (SELECT value FROM read_parquet('{path}')),
+parsed AS (
+  SELECT CASE json_extract_string(value, '$.metadata.operation')
+           WHEN 'load' THEN 0
+           ELSE TRY_CAST(json_extract_string(value, '$.metadata."transaction-id"') AS BIGINT)
+                * {shift}
+                + COALESCE(TRY_CAST(json_extract_string(value, '$.metadata."transaction-record-id"') AS BIGINT), 0)
+         END AS seq,
+         CASE json_extract_string(value, '$.metadata.operation')
+           WHEN 'load' THEN 'I' WHEN 'insert' THEN 'I'
+           WHEN 'update' THEN 'U' WHEN 'delete' THEN 'D' END AS op,
+         json_extract_string(value, '$.data.repo') AS repo,
+         json_extract_string(value, '$.data.path') AS path,
+         json_extract_string(value, '$.data.commit') AS commit,
+         json_extract_string(value, '$.data.content') AS content
+  FROM raw
+  WHERE json_valid(value)
+    AND COALESCE(json_extract_string(value, '$.metadata."record-type"'), 'data') <> 'control'
+),
+clean AS (
+  SELECT * FROM parsed
+  WHERE op IS NOT NULL AND seq IS NOT NULL AND repo IS NOT NULL AND path IS NOT NULL
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM clean
+)
+SELECT repo, path, commit, seq, sha256(content) AS content_sha256
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_events_asof_click(spark, sf):
     """Backward as-of join: every purchase matched to the SAME user's
     latest click at-or-before the purchase instant (inner: purchases
@@ -2571,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxwell_parse": q_maxwell_parse,
         "wal2json_parse": q_wal2json_parse,
         "canal_parse": q_canal_parse,
+        "dms_parse": q_dms_parse,
         "events_asof_click": q_events_asof_click,
         "events_asof_next": q_events_asof_next,
         "events_value_tiers": q_events_value_tiers,
@@ -2641,6 +2708,7 @@ def oracle_sql() -> dict[str, str]:
         "maxwell_parse": _sql_maxwell_parse(),
         "wal2json_parse": _sql_wal2json_parse(),
         "canal_parse": _sql_canal_parse(),
+        "dms_parse": _sql_dms_parse(),
         "events_asof_click": SQL_EVENTS_ASOF_CLICK,
         "events_asof_next": SQL_EVENTS_ASOF_NEXT,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,

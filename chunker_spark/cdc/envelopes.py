@@ -38,6 +38,15 @@ message, row images in a ``data`` ARRAY):
      "type": "INSERT|UPDATE|DELETE" (DDL kinds when isDdl),
      "isDdl": false, "es": <source epoch-ms>, "ts": <process epoch-ms>,
      "data": [{...row...}, ...], "old": [{...changed cols...}, ...]}
+
+AWS DMS envelope (Kinesis/Kafka target, one JSON object per record):
+    {"data": {...row...},
+     "metadata": {"record-type": "data"|"control",
+                  "operation": "load|insert|update|delete",
+                  "timestamp": "...Z", "schema-name": ..., "table-name": ...,
+                  "transaction-id": ..., "transaction-record-id": ...}}
+full-load rows order at seq 0 (written once, before CDC); control
+records are dropped (not DLQ'd).
 """
 
 from __future__ import annotations
@@ -106,6 +115,16 @@ _WAL2JSON_SCHEMA = StructType(
 )
 
 _CANAL_OPS = {"INSERT": "I", "UPDATE": "U", "DELETE": "D"}
+
+#: AWS DMS operations ('load' = full-load snapshot row = upsert)
+_DMS_OPS = {"load": "I", "insert": "I", "update": "U", "delete": "D"}
+
+_DMS_SCHEMA = StructType(
+    [
+        StructField("data", MapType(StringType(), StringType()), True),
+        StructField("metadata", MapType(StringType(), StringType()), True),
+    ]
+)
 
 _CANAL_SCHEMA = StructType(
     [
@@ -320,6 +339,142 @@ def parse_canal(raw: DataFrame, value_col: str = "value", keep_raw: bool = False
     if keep_raw:
         extra.append(F.col(value_col).alias("_raw"))
     return _project_event(parsed, op, seq, ts, F.col("_img"), extra)
+
+
+#: seq packing for DMS CDC records: seq = transaction_id * 2^20 +
+#: transaction_record_id. Transaction ids are commit-ordered at the
+#: source; the record id orders rows WITHIN one transaction (a key can
+#: legally change twice in one txn). 2^20 records per transaction, 43
+#: high bits of txn id — the same budget argument as CANAL_PACK_SHIFT.
+DMS_PACK_SHIFT = 20
+
+
+def parse_dms(raw: DataFrame, value_col: str = "value", keep_raw: bool = False) -> DataFrame:
+    """AWS DMS (Kinesis/Kafka target) JSON envelope -> EVENT_SCHEMA.
+
+    Envelope shape (one JSON object per record):
+        {"data": {...row...},
+         "metadata": {"record-type": "data"|"control",
+                      "operation": "load|insert|update|delete",
+                      "timestamp": "2024-...T...Z" (ISO-8601, µs),
+                      "schema-name": ..., "table-name": ...,
+                      "transaction-id": ..., "transaction-record-id": ...}}
+
+    Ordering contract: full-load rows (operation ``load``) get
+    ``seq = 0`` — DMS writes each key's snapshot exactly once, BEFORE
+    the CDC phase, so any CDC change must beat it regardless of the
+    two phases' incomparable native coordinates. CDC rows order by
+    ``transaction_id * 2^20 + transaction_record_id`` when the task has
+    IncludeTransactionDetails (see ``DMS_PACK_SHIFT``), else by the
+    commit timestamp in microseconds. The two CDC modes are a
+    task-level setting and never mix within one stream; a record with
+    neither coordinate is a null-seq DLQ row. ``control`` records
+    (task lifecycle / DDL) carry no row image and are DROPPED, not
+    dead-lettered — mirroring wal2json's B/C/T handling.
+    """
+    parsed = raw.withColumn("_env", F.from_json(F.col(value_col), _DMS_SCHEMA))
+    env = F.col("_env")
+    meta = env["metadata"]
+    rt = F.element_at(meta, "record-type")
+    parsed = parsed.where(~F.coalesce(rt == F.lit("control"), F.lit(False)))
+    opname = F.element_at(meta, "operation")
+    op = _op_expr(opname, _DMS_OPS)
+    txn = F.element_at(meta, "transaction-id").try_cast("long")
+    rec = F.coalesce(
+        F.element_at(meta, "transaction-record-id").try_cast("long"), F.lit(0)
+    )
+    ts = F.try_to_timestamp(F.element_at(meta, "timestamp"))
+    seq = F.when(opname == "load", F.lit(0).cast("long")).otherwise(
+        F.coalesce(F.shiftleft(txn, DMS_PACK_SHIFT) + rec, F.unix_micros(ts))
+    )
+    extra = [F.element_at(meta, "table-name").alias("src_table")]
+    if keep_raw:
+        extra.append(F.col(value_col).alias("_raw"))
+    return _project_event(parsed, op, seq, ts, env["data"], extra)
+
+
+def dms_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:
+    """Write the deterministic DMS-envelope fixture (parquet, one
+    ``value`` JSON string column) once and return its path. 71 records
+    over 23 (repo,path) keys exercising the full-load→CDC cutover: 23
+    ``load`` snapshot rows (seq 0 by contract; keys 20-22 never see
+    CDC and must survive at snapshot content), txn 101 updates keys
+    0-19, txn 102 updates them again (must win on the txn bits), txn
+    103 touches key 3 TWICE (record-ids 5 then 17 — the within-txn
+    order decides), txn 104 deletes keys 2/7/11, plus one ``control``
+    record (dropped, not DLQ'd), one malformed JSON line and one
+    data record with no operation (both DLQ). pyarrow-written so
+    oracle_sql() needs no SparkSession."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{base}/dms_v1.parquet"
+    if os.path.exists(path):
+        return path
+
+    def rec(op, key, txn=None, recid=None, ts="2024-03-01T00:00:00.000000Z", content_tag="snap"):
+        data = {
+            "repo": f"repo-{key % 5}",
+            "path": f"svc/d{key}.py",
+            "commit": f"{content_tag}-{key}",
+            "lang": "python",
+            "content": f"def d{key}(): return '{content_tag}'\n" * (1 + key % 3),
+        }
+        if op == "delete":
+            data = {k: data[k] for k in ("repo", "path")}
+        meta = {
+            "record-type": "data",
+            "operation": op,
+            "partition-key-type": "schema-table",
+            "schema-name": "public",
+            "table-name": "files",
+            "timestamp": ts,
+        }
+        if txn is not None:
+            meta["transaction-id"] = txn
+            meta["transaction-record-id"] = recid
+        return json.dumps({"data": data, "metadata": meta}, sort_keys=True)
+
+    values = []
+    for k in range(23):  # full-load snapshot (no transaction details);
+        # keys 20-22 are never touched by CDC — they must survive at
+        # seq 0 with their snapshot content
+        values.append(rec("load", k, ts="2024-03-01T00:00:00.000000Z"))
+    for i, k in enumerate(range(20)):  # txn 101: first CDC update wave
+        values.append(rec("update", k, txn=101, recid=i, ts="2024-03-01T01:00:00.000000Z", content_tag="v1"))
+    for i, k in enumerate(range(20)):  # txn 102: second wave — wins LWW
+        values.append(rec("update", k, txn=102, recid=i, ts="2024-03-01T02:00:00.000000Z", content_tag="v2"))
+    # txn 103: same key twice — record-id 17 must beat record-id 5
+    values.append(rec("update", 3, txn=103, recid=5, ts="2024-03-01T03:00:00.000000Z", content_tag="v3a"))
+    values.append(rec("update", 3, txn=103, recid=17, ts="2024-03-01T03:00:00.000000Z", content_tag="v3b"))
+    for i, k in enumerate((2, 7, 11)):  # txn 104: tombstones
+        values.append(rec("delete", k, txn=104, recid=i, ts="2024-03-01T04:00:00.000000Z"))
+    values.append(
+        json.dumps(
+            {
+                "control": {},
+                "metadata": {
+                    "record-type": "control",
+                    "operation": "create-table",
+                    "schema-name": "public",
+                    "table-name": "files",
+                },
+            },
+            sort_keys=True,
+        )
+    )
+    values.append("dms but broken {{{")
+    values.append(json.dumps({"data": {"repo": "x", "path": "y"}, "metadata": {"record-type": "data"}}))
+
+    table = pa.table({"value": pa.array(values, pa.string())})
+    os.makedirs(base, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def canal_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:

@@ -67,7 +67,7 @@ class IngestStream:
         dedup_watermark: str | None = None,  # e.g. "10 minutes"
         expire_every: int | None = None,  # run commit expiry every N commits
         expire_keep_last: int = 8,  # retained time-travel window
-        wire_format: str | None = None,  # None (typed parquet) | 'debezium' | 'maxwell' | 'wal2json' | 'canal'
+        wire_format: str | None = None,  # None (typed parquet) | 'debezium' | 'maxwell' | 'wal2json' | 'canal' | 'dms'
         collect_metrics: bool = True,
         source: str = "files",  # 'files' (dir tail) | 'kafka' (topic; needs connector jar)
         kafka_bootstrap_servers: str | None = None,
@@ -93,7 +93,7 @@ class IngestStream:
         # full batch-id ledger (it rides the latest commit)
         self.expire_every = expire_every
         self.expire_keep_last = expire_keep_last
-        if wire_format not in (None, "debezium", "maxwell", "wal2json", "canal"):
+        if wire_format not in (None, "debezium", "maxwell", "wal2json", "canal", "dms"):
             raise ValueError(f"unknown wire_format {wire_format!r}")
         if wire_format and dedup_watermark:
             # the raw wire stream has no ts/seq until the per-batch
@@ -174,6 +174,7 @@ class IngestStream:
             # so malformed payloads are persisted next to the lake.
             from .envelopes import (
                 parse_canal,
+                parse_dms,
                 parse_debezium,
                 parse_maxwell,
                 parse_wal2json,
@@ -187,6 +188,7 @@ class IngestStream:
                 "maxwell": parse_maxwell,
                 "wal2json": parse_wal2json,
                 "canal": parse_canal,
+                "dms": parse_dms,
             }[self.wire_format]
             df, dlq = split_malformed(df, parser=parser)
             # DLQ lands BEFORE the lake commit, in a per-batch

@@ -870,3 +870,97 @@ def test_streaming_canal_wire_ingest(spark, tmp_path):
     run()  # redelivery: complete no-op
     assert len(lake.committed_batch_ids()) == n
     assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
+
+
+def test_dms_fixture_cutover_and_splits(spark):
+    """The DMS fixture's full-load→CDC cutover semantics: exactly the
+    2 planted bad payloads DLQ (broken JSON / operation-less data
+    record); the control record vanishes (dropped, NOT dead-lettered);
+    load rows order at seq 0 so every CDC change beats the snapshot;
+    the never-updated keys survive AT the snapshot; and the key
+    touched twice in txn 103 resolves by transaction-record-id."""
+    from chunker_spark.cdc.envelopes import (
+        DMS_PACK_SHIFT,
+        dms_fixture_path,
+        parse_dms,
+        split_malformed,
+    )
+
+    p1, p2 = dms_fixture_path(), dms_fixture_path()
+    assert p1 == p2
+    raw = spark.read.parquet(p1)
+    clean, dlq = split_malformed(raw, parser=parse_dms)
+    assert dlq.count() == 2
+    assert clean.count() == 23 + 20 + 20 + 2 + 3  # control contributes none
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
+    final = {
+        r.path: r
+        for r in clean.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .collect()
+    }
+    assert len(final) == 23 - 3  # three keys tombstoned in txn 104
+    # within-txn order: record-id 17 of txn 103 beats record-id 5
+    assert final["svc/d3.py"].seq == (103 << DMS_PACK_SHIFT) + 17
+    assert final["svc/d3.py"].commit == "v3b-3"
+    # full-load-only keys survive at snapshot content, seq 0
+    for k in (20, 21, 22):
+        assert final[f"svc/d{k}.py"].seq == 0
+        assert final[f"svc/d{k}.py"].commit == f"snap-{k}"
+    # every CDC'd key left the snapshot behind
+    assert final["svc/d0.py"].commit == "v2-0"
+
+
+def test_streaming_dms_wire_ingest(spark, tmp_path):
+    """The DMS wire path end-to-end through IngestStream: full-load
+    records then transaction-packed CDC (incl. a within-txn repeated
+    key and a control record) -> DLQ split -> exactly-once MERGE;
+    redelivery no-ops."""
+    import json as _json
+
+    from chunker_spark.cdc import LakeTable
+    from chunker_spark.cdc.streaming import IngestStream
+    from chunker_spark.kernel import ChunkerParams
+
+    def dms(op, path, content, txn=None, recid=None, rt="data"):
+        meta = {"record-type": rt, "operation": op, "schema-name": "s",
+                "table-name": "files", "timestamp": "2024-03-01T00:00:00.000000Z"}
+        if txn is not None:
+            meta["transaction-id"] = txn
+            meta["transaction-record-id"] = recid
+        return _json.dumps({"data": {"repo": "r", "path": path,
+                                     "commit": "c", "content": content},
+                            "metadata": meta})
+
+    log_dir = tmp_path / "dms-log"
+    log_dir.mkdir()
+    (log_dir / "seg-0.jsonl").write_text("\n".join([
+        dms("load", "a.py", "snap-a\n"),
+        dms("load", "b.py", "snap-b\n"),
+        "dms corrupt [[[",
+    ]) + "\n")
+    (log_dir / "seg-1.jsonl").write_text("\n".join([
+        # txn 9: a.py updated twice — record-id 4 must win
+        dms("update", "a.py", "v1-early\n", txn=9, recid=1),
+        dms("update", "a.py", "v1-final\n", txn=9, recid=4),
+        dms("delete", "b.py", "", txn=10, recid=0),
+        dms("create-table", "x", "", rt="control"),  # dropped, not dead-lettered
+    ]) + "\n")
+
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    params = ChunkerParams(average_bits=6, min_size=64, max_size=256)
+
+    def run():
+        IngestStream(spark, lake, str(log_dir), str(tmp_path / "ckpt"),
+                     params=params, wire_format="dms").run_available()
+
+    run()
+    state = {r.path: r.content for r in lake.read().collect()}
+    assert state == {"a.py": "v1-final\n"}  # snapshot beaten, b.py tombstoned
+    assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
+    n = len(lake.committed_batch_ids())
+    run()  # redelivery: complete no-op
+    assert len(lake.committed_batch_ids()) == n
+    assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
