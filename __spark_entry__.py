@@ -2505,6 +2505,49 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
 """
 
 
+def q_value_approx_quantiles(spark, sf):
+    """Quantile-sketch aggregation (`approx_percentile`, GK-sketch
+    family) beside the exact interpolated percentile, oracle-checked
+    as an INVARIANT like the HLL query: the sketch value is
+    implementation-specific but its rank-error contract is not — with
+    accuracy 10000 the approximate p50/p95 must land between the exact
+    p45/p55 (resp. p90/p99.5) rank bounds, and the exact columns must
+    match DuckDB bit-for-bit. At 100 TB the sketch is the only viable
+    percentile: fixed per-group state, map-side combinable, no global
+    sort — `percentile()` by contrast buffers every value per group."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("exact_p95"),
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("a50"),
+            F.expr("approx_percentile(value, 0.95, 10000)").alias("a95"),
+            F.expr("percentile(value, 0.45)").alias("lo50"),
+            F.expr("percentile(value, 0.55)").alias("hi50"),
+            F.expr("percentile(value, 0.90)").alias("lo95"),
+            F.expr("percentile(value, 0.995)").alias("hi95"),
+        )
+        .select(
+            "event_type",
+            "exact_p50",
+            "exact_p95",
+            (F.col("a50").between(F.col("lo50"), F.col("hi50"))).alias("p50_within_rank_tol"),
+            (F.col("a95").between(F.col("lo95"), F.col("hi95"))).alias("p95_within_rank_tol"),
+        )
+    )
+
+
+SQL_VALUE_APPROX_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS exact_p50,
+       round(quantile_cont(value, 0.95), 6) AS exact_p95,
+       TRUE AS p50_within_rank_tol,
+       TRUE AS p95_within_rank_tol
+FROM events GROUP BY event_type
+"""
+
+
 def q_semdedup(spark, sf):
     """SemDeDup (`ops/semdedup.py`, Abbas et al. arXiv:2303.09540):
     k-means cluster the embeddings (same deterministic 8-lowest-id
@@ -2662,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2": q_events_scd2,
         "customer_value_pctrank": q_customer_value_pctrank,
         "semdedup": q_semdedup,
+        "value_approx_quantiles": q_value_approx_quantiles,
         "events_range_frame": q_events_range_frame,
         "doc_containment": q_doc_containment,
         "doc_windows": q_doc_windows,
@@ -2736,6 +2780,7 @@ def oracle_sql() -> dict[str, str]:
         "events_scd2": SQL_EVENTS_SCD2,
         "customer_value_pctrank": SQL_CUSTOMER_VALUE_PCTRANK,
         "semdedup": SQL_SEMDEDUP,
+        "value_approx_quantiles": SQL_VALUE_APPROX_QUANTILES,
         "events_range_frame": SQL_EVENTS_RANGE_FRAME,
         "doc_containment": SQL_DOC_CONTAINMENT,
         "doc_windows": SQL_DOC_WINDOWS,
