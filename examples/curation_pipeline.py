@@ -1,8 +1,9 @@
 """End-to-end training-data curation walkthrough over the documents
 corpus: quality filter → PII scrub → boilerplate-line removal →
-decontaminate → dedup (exact + near) → language-stratified sample →
-source mixture weighting → weighted curriculum seed → sequence
-packing.
+decontaminate → dedup (exact + near) → containment prune (partial
+copies) → language-stratified sample → source mixture weighting →
+weighted curriculum seed → sequence packing → sliding-window
+embedding prep.
 
 One runnable script composing the `ops/` + `functions/text` surface
 the way a pretraining-data pipeline does, in the order a real pipeline
@@ -36,7 +37,7 @@ from chunker_spark.ops.curation import (
     stratified_sample,
     weighted_sample,
 )
-from chunker_spark.ops.dedup import exact_dedup, minhash_lsh_pairs
+from chunker_spark.ops.dedup import containment_pairs, exact_dedup, minhash_lsh_pairs
 from chunker_spark.ops.decontaminate import ngram_contamination
 from chunker_spark.ops.graph import dedup_clusters
 from chunker_spark.ops.packing import pack_documents, packing_summary
@@ -106,6 +107,18 @@ def main() -> None:
     )
     out["after_near_dedup"] = canonical.count()
 
+    # 4b. containment prune: drop partial copies — a doc >=90% of
+    # whose n-grams appear inside another surviving doc (the case a
+    # Jaccard threshold structurally misses when sizes differ). House
+    # deterministic keep rule: the lower doc_id of each pair survives.
+    contained = (
+        containment_pairs(canonical, n=3, threshold=0.9)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    canonical = canonical.join(contained, "doc_id", "left_anti")
+    out["after_containment_prune"] = canonical.count()
+
     # 5. exact 1/5 stratified sample per language (held-out eval shard)
     eval_shard = stratified_sample(canonical, ["lang"], 1, 5)
     train = canonical.join(eval_shard.select("doc_id"), "doc_id", "left_anti")
@@ -141,6 +154,13 @@ def main() -> None:
     out["fill_ratio_mean"] = round(
         sum(r["fill_ratio"] for r in summary) / len(summary), 4
     )
+
+    # 7. RAG/embedding prep handoff: overlapping 256-char windows at
+    # stride 192 over the mixed training corpus (map-only explode —
+    # zero shuffles; see the doc_windows query for the per-window
+    # schema an embedding job would consume)
+    win_starts = F.sequence(F.lit(0), F.length("text") - F.lit(1), F.lit(192))
+    out["embedding_windows"] = mixed.select(F.explode(win_starts)).count()
 
     print(json.dumps(out, sort_keys=True))
     spark.stop()
