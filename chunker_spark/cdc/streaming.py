@@ -415,3 +415,102 @@ def windowed_event_metrics(events, window: str = "1 minute", watermark: str = "1
             F.col("bytes"),
         )
     )
+
+
+def replay_dlq(
+    lake: LakeTable,
+    wire_format: str,
+    params: ChunkerParams = SOURCE_PARAMS,
+    dlq_root: str | None = None,
+    **apply_kwargs,
+) -> dict:
+    """Re-ingest dead-lettered payloads after a producer/parser fix.
+
+    The streaming path quarantines undecodable envelopes under
+    ``<lake>/dlq/ingest_run=*/batch_id=*`` with their original payload
+    byte-for-byte. Once the upstream defect is fixed (producer patched,
+    or this engine's parser extended), this replays the whole quarantine
+    through the same parse → split → exactly-once MERGE path:
+
+    * rows that now parse commit as ONE batch whose id is derived from
+      the payload content (sha256 over the sorted payload set), so a
+      crash between commit and cleanup — or an operator running the
+      replay twice — is a ledger no-op, never a double-apply;
+    * rows that still fail re-quarantine under a fresh
+      ``ingest_run=replay-<id>`` directory BEFORE the old directories
+      are removed, so no payload is ever dropped by a replay.
+
+    Returns {"replayed": n, "still_bad": m, "batch_id": ..., "commit":
+    commit-dict-or-None}. No-op ({"replayed": 0, ...}) when the
+    quarantine is empty.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .envelopes import (
+        parse_canal,
+        parse_debezium,
+        parse_dms,
+        parse_maxwell,
+        parse_wal2json,
+        split_malformed,
+    )
+
+    parser = {
+        "debezium": parse_debezium,
+        "maxwell": parse_maxwell,
+        "wal2json": parse_wal2json,
+        "canal": parse_canal,
+        "dms": parse_dms,
+    }[wire_format]
+    spark = lake.spark
+    root = dlq_root or f"{lake.root}/dlq"
+    if not os.path.isdir(root):
+        return {"replayed": 0, "still_bad": 0, "batch_id": None, "commit": None}
+    run_dirs = sorted(
+        d for d in os.listdir(root)
+        if d.startswith("ingest_run=") and os.path.isdir(os.path.join(root, d))
+    )
+    if not run_dirs:
+        return {"replayed": 0, "still_bad": 0, "batch_id": None, "commit": None}
+    raw = spark.read.parquet(*[os.path.join(root, d) for d in run_dirs]).select("value")
+    # content-derived batch id: stable across retries AND across runs
+    # that quarantine the same payloads — the idempotency key is the
+    # data, not the wall clock. Computed DISTRIBUTED (never collecting
+    # payloads to the driver): an order-insensitive DECIMAL(38,0) sum
+    # of per-row 60-bit sha256 prefixes — commutative, overflow-free,
+    # accidental-collision odds ~2^-60 per pair.
+    stats = raw.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.conv(
+                F.substring(F.sha2(F.col("value").cast("binary"), 256), 1, 15), 16, 10
+            ).cast("decimal(38,0)")
+        ).alias("dig"),
+    ).collect()[0]
+    total = int(stats["n"])
+    if total == 0:
+        return {"replayed": 0, "still_bad": 0, "batch_id": None, "commit": None}
+    batch_id = f"dlq-replay-{int(stats['dig']) % (1 << 64):016x}"
+    clean, still_bad = split_malformed(raw, parser=parser)
+    commit = apply_batch(lake, clean, batch_id, params=params, **apply_kwargs)
+    # quarantine survivors under a replay run BEFORE removing the old
+    # directories — a crash anywhere in between leaves duplicates,
+    # never a loss: an identical leftover set replays as a ledger
+    # no-op (same content digest), and a half-cleaned set re-applies
+    # rows that are (key, seq)-identical to the committed ones, which
+    # the max-seq MERGE resolves to the same final state
+    n_bad = still_bad.count()
+    if n_bad:
+        still_bad.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, f"ingest_run=replay-{batch_id[-16:]}", "batch_id=0")
+        )
+    for d in run_dirs:
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return {
+        "replayed": total - n_bad,
+        "still_bad": n_bad,
+        "batch_id": batch_id,
+        "commit": commit,
+    }

@@ -945,3 +945,63 @@ def test_signature_store_probe_finds_cross_commit_near_dups(spark, tmp_path):
     }
     probe_batch = {p for p in batch_pairs if p[0] in probe_keys or p[1] in probe_keys}
     assert set(pairs) == probe_batch
+
+
+def test_replay_dlq_exactly_once_and_requarantine(spark, tmp_path):
+    """The dead-letter replay path: a wire ingest quarantines payloads
+    it cannot parse; after the 'fix' (here: the payloads were Maxwell
+    envelopes arriving on a Debezium topic), replay_dlq re-ingests the
+    whole quarantine through the right parser as ONE content-derived
+    batch — running it twice is a ledger no-op — while a still-broken
+    payload is re-quarantined, never dropped, and replays as a no-op
+    batch of its own."""
+    import json as _json
+
+    from chunker_spark.cdc import LakeTable
+    from chunker_spark.cdc.streaming import IngestStream, replay_dlq
+    from chunker_spark.kernel import ChunkerParams
+
+    def maxwell(op, pos, path, content):
+        return _json.dumps({"type": op, "ts": 1700000000,
+                            "position": f"mysql-bin.000001:{pos}",
+                            "table": "files",
+                            "data": {"repo": "r", "path": path,
+                                     "commit": "c", "content": content}})
+
+    log_dir = tmp_path / "wire-log"
+    log_dir.mkdir()
+    (log_dir / "seg-0.jsonl").write_text("\n".join([
+        maxwell("insert", 100, "a.py", "v1\n"),   # not Debezium -> DLQ
+        maxwell("insert", 110, "b.py", "w1\n"),   # not Debezium -> DLQ
+        maxwell("update", 120, "a.py", "v2\n"),   # not Debezium -> DLQ
+        "utterly broken [[[",                      # broken for everyone
+    ]) + "\n")
+
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    params = ChunkerParams(average_bits=6, min_size=64, max_size=256)
+    IngestStream(spark, lake, str(log_dir), str(tmp_path / "ckpt"),
+                 params=params, wire_format="debezium").run_available()
+    assert lake.read().count() == 0  # everything quarantined
+    assert spark.read.parquet(f"{lake.root}/dlq").count() == 4
+
+    res = replay_dlq(lake, "maxwell", params=params)
+    assert res["replayed"] == 3 and res["still_bad"] == 1
+    assert res["commit"] is not None
+    state = {r.path: r.content for r in lake.read().collect()}
+    assert state == {"a.py": "v2\n", "b.py": "w1\n"}  # LWW on packed seq
+    # the broken payload was re-quarantined, not dropped
+    assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
+
+    n_commits = len(lake.committed_batch_ids())
+    res2 = replay_dlq(lake, "maxwell", params=params)
+    # second replay sees only the re-quarantined broken payload: it
+    # still fails, gets re-quarantined again, and nothing re-applies
+    assert res2["replayed"] == 0 and res2["still_bad"] == 1
+    assert {r.path: r.content for r in lake.read().collect()} == state
+    assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
+
+    # empty-quarantine no-op once the broken payload is purged
+    import shutil
+    shutil.rmtree(f"{lake.root}/dlq")
+    res3 = replay_dlq(lake, "maxwell", params=params)
+    assert res3 == {"replayed": 0, "still_bad": 0, "batch_id": None, "commit": None}
