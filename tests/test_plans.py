@@ -482,3 +482,51 @@ def test_semdedup_plan_cluster_join_no_cartesian(spark):
         l for l in plan.splitlines() if "Exchange hashpartitioning" in l and "id" in l
     ]
     assert all("emb" not in l for l in agg_exchanges), plan
+
+
+def test_aqe_skew_join_splits_mega_cluster(spark):
+    """The 100 TB skew story behind the cluster-scoped pairwise ops
+    (SemDeDup's cluster join, the LSH band joins): when one cluster or
+    bucket dwarfs the rest, AQE's skew-join must split that shuffle
+    partition across parallel tasks instead of handing one task the
+    whole quadratic bucket. Thresholds are tuned down to exercise the
+    mechanism at test scale; the assertion is on the FINAL adaptive
+    plan — the sort-merge join must carry skew=true after execution."""
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        payload = "x" * 200
+        rows = [(0, i, payload) for i in range(3000)] + [
+            (k, 0, payload) for k in range(1, 400)
+        ]
+        df = spark.createDataFrame(rows, "cluster int, id long, emb string")
+        # downstream must NOT reuse the join key's partitioning (a
+        # groupBy(cluster) right after would make AQE skip the split
+        # to preserve the partitioning guarantee — itself a lesson for
+        # operator authors): a global aggregate leaves AQE free
+        j = (
+            df.alias("l")
+            .join(df.alias("r"), "cluster")
+            .where(F.col("l.id") < F.col("r.id"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+        )
+        assert j.collect()[0]["n_pairs"] == 3000 * 2999 // 2  # exact: only the mega-cluster pairs
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
