@@ -2607,7 +2607,10 @@ def q_doc_windows(spark, sf):
     AQE-parallelizes on input splits."""
     d = _t(spark, sf, "documents")
     win, stride = 256, 192
-    exploded = d.select(
+    # empty docs yield zero windows (matching the oracle's empty
+    # range()) — and F.sequence(0, -1, ...) would error, so the guard
+    # is correctness, not just hygiene
+    exploded = d.where(F.length("text") > 0).select(
         "doc_id",
         "text",
         F.explode(

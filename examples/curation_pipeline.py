@@ -160,7 +160,9 @@ def main() -> None:
     # zero shuffles; see the doc_windows query for the per-window
     # schema an embedding job would consume)
     win_starts = F.sequence(F.lit(0), F.length("text") - F.lit(1), F.lit(192))
-    out["embedding_windows"] = mixed.select(F.explode(win_starts)).count()
+    out["embedding_windows"] = (
+        mixed.where(F.length("text") > 0).select(F.explode(win_starts)).count()
+    )
 
     print(json.dumps(out, sort_keys=True))
     spark.stop()
