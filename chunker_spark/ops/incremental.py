@@ -261,7 +261,32 @@ class SignatureStore:
     last_applied = FingerprintStore.last_applied
     _data_dir = FingerprintStore._data_dir
 
+    @property
+    def _params(self) -> dict:
+        return {
+            "num_hashes": self.num_hashes,
+            "shingle_k": self.shingle_k,
+            "seed": self.seed,
+        }
+
+    def _check_params(self) -> None:
+        """Signatures are a pure function of (num_hashes, shingle_k,
+        seed): reopening an existing store with different values would
+        silently mix incomparable signatures into one table on the
+        next incremental refresh. The sidecar pins the creation-time
+        values; a mismatch is a hard error, not a degradation."""
+        if not os.path.exists(self._state_file):
+            return
+        with open(self._state_file) as f:
+            saved = json.load(f).get("params")
+        if saved is not None and saved != self._params:
+            raise ValueError(
+                f"SignatureStore at {self.path} was built with {saved}, "
+                f"reopened with {self._params}; delete the store to re-bootstrap"
+            )
+
     def read(self) -> DataFrame:
+        self._check_params()
         last = self.last_applied()
         if last is None:
             schema = ", ".join(
@@ -276,6 +301,7 @@ class SignatureStore:
         only. Returns {'applied': bool, 'from': ..., 'to': ...}."""
         from .dedup import minhash_udf
 
+        self._check_params()
         cur = lake.current_commit()["commit_seq"]
         last = self.last_applied()
         if last is not None and cur <= last:
@@ -300,7 +326,7 @@ class SignatureStore:
         new_store.write.mode("overwrite").parquet(target)
         tmp = f"{self._state_file}.tmp-{os.getpid()}"
         with open(tmp, "w") as f:
-            json.dump({"last_commit": cur}, f)
+            json.dump({"last_commit": cur, "params": self._params}, f)
         os.replace(tmp, self._state_file)  # atomic cutover, crash-safe
         for d in os.listdir(self.path):
             if d.startswith("store-") and d != f"store-{cur:012d}":

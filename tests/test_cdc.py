@@ -1005,3 +1005,25 @@ def test_replay_dlq_exactly_once_and_requarantine(spark, tmp_path):
     shutil.rmtree(f"{lake.root}/dlq")
     res3 = replay_dlq(lake, "maxwell", params=params)
     assert res3 == {"replayed": 0, "still_bad": 0, "batch_id": None, "commit": None}
+
+
+def test_signature_store_rejects_param_mismatch(spark, tmp_path):
+    """Reopening a SignatureStore with different MinHash parameters
+    must be a hard error — an incremental refresh would otherwise mix
+    incomparable signatures into one table."""
+    from chunker_spark.ops.incremental import SignatureStore
+
+    events = list(gen_events_local(SPEC, 60))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    apply_batch(lake, _events_df(spark, events), "p0", params=PARAMS)
+    store = SignatureStore(spark, str(tmp_path / "sigs"), num_hashes=32, bands=8)
+    assert store.refresh(lake)["applied"] is True
+
+    reopened = SignatureStore(spark, str(tmp_path / "sigs"), num_hashes=64, bands=16)
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        reopened.refresh(lake)
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        reopened.read()
+    # same params: fine (bands is a QUERY-time knob, not signature state)
+    same = SignatureStore(spark, str(tmp_path / "sigs"), num_hashes=32, bands=4)
+    assert same.refresh(lake)["applied"] is False
