@@ -472,3 +472,50 @@ def test_weighted_sample_duplicate_content_and_validation(spark):
     assert {4, 5, 6}.isdisjoint(got)   # zero/negative/null weight: out
     with pytest.raises(ValueError, match="k must be"):
         weighted_sample(df, k=0, weight_col="w")
+
+
+def test_export_jsonl_shards_roundtrip_deterministic_and_verified(spark, tmp_path):
+    """The training-export sink: shard assignment is a pure hash of the
+    id (partitioning-independent), rows sort within shards, so two
+    exports of the same frame are byte-identical; the round-trip read
+    recovers the exact corpus; verify_export passes on a clean export
+    and fails the shard whose file is tampered with."""
+    import glob
+    import hashlib
+
+    from chunker_spark.ops.export import export_jsonl_shards, verify_export
+
+    rows = [(i, f"document body {i} " + "x" * (i % 37)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def digest_tree(p):
+        out = {}
+        for f in sorted(glob.glob(f"{p}/shard=*/part-*")):
+            rel = f.split(p, 1)[1].rsplit("/", 1)[0]  # dir part; file names vary per job
+            out.setdefault(rel, hashlib.sha256()).update(open(f, "rb").read())
+        return {k: v.hexdigest() for k, v in out.items()}
+
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    m1 = export_jsonl_shards(df, p1, n_shards=8)
+    export_jsonl_shards(df.repartition(13), p2, n_shards=8)  # different input layout
+    assert digest_tree(p1) == digest_tree(p2)  # byte-identical shard contents
+    assert sum(r["n_docs"] for r in m1.collect()) == 300
+
+    back = spark.read.option("basePath", p1).json(f"{p1}/shard=*")
+    assert {(r["doc_id"], r["text"]) for r in back.collect()} == set(rows)
+
+    ok = verify_export(spark, p1)
+    assert all(r["ok"] for r in ok.collect())
+
+    # tamper with one shard file: its row must fail, others stay green
+    # (drop the local-FS .crc sidecar so the read reaches the manifest
+    # check — object stores have no such sidecar)
+    import os
+
+    victim = sorted(glob.glob(f"{p1}/shard=*/part-*"))[0]
+    d, b = os.path.split(victim)
+    os.remove(os.path.join(d, f".{b}.crc"))
+    with open(victim, "a") as f:
+        f.write('{"doc_id": 999999, "text": "injected"}\n')
+    res = {r["shard"]: r["ok"] for r in verify_export(spark, p1).collect()}
+    assert sum(1 for v in res.values() if not v) == 1
