@@ -3,7 +3,8 @@ corpus: quality filter → PII scrub → boilerplate-line removal →
 decontaminate → dedup (exact + near) → containment prune (partial
 copies) → language-stratified sample → source mixture weighting →
 weighted curriculum seed → sequence packing → sliding-window
-embedding prep.
+embedding prep → sharded JSONL export with a self-verifying
+manifest.
 
 One runnable script composing the `ops/` + `functions/text` surface
 the way a pretraining-data pipeline does, in the order a real pipeline
@@ -163,6 +164,18 @@ def main() -> None:
     out["embedding_windows"] = (
         mixed.where(F.length("text") > 0).select(F.explode(win_starts)).count()
     )
+
+    # 8. hand-off: deterministic sharded JSONL export + verification —
+    # what the training job actually mounts
+    import tempfile
+
+    from chunker_spark.ops.export import export_jsonl_shards, verify_export
+
+    with tempfile.TemporaryDirectory() as tmp:
+        export_jsonl_shards(mixed.select("doc_id", "text"), tmp, n_shards=4)
+        verdicts = verify_export(spark, tmp).collect()
+        out["export_shards"] = len(verdicts)
+        out["export_verified"] = all(r["ok"] for r in verdicts)
 
     print(json.dumps(out, sort_keys=True))
     spark.stop()
