@@ -2466,6 +2466,47 @@ FROM customer JOIN spend ON c_custkey = o_custkey
 """
 
 
+def q_doc_lm_score(spark, sf):
+    """Unigram-LM quality scoring (`ops/lm_score.py`, the CCNet
+    perplexity-filter core): fit a smoothed top-200 unigram model on
+    the corpus (one fixed-width aggregate, deterministic tf-desc/word
+    cut), broadcast it, score every document's per-token cross-entropy.
+    Full per-document oracle — log-probs are rounded-once DECIMALs so
+    per-doc sums are exact, and the compared score is integer
+    micro-nats (round-half-up bigint division): no float accumulation
+    or float division anywhere in the compared columns."""
+    from chunker_spark.ops.lm_score import lm_cross_entropy, unigram_model
+
+    d = _t(spark, sf, "documents")
+    model = unigram_model(d, vocab_size=200)
+    return lm_cross_entropy(d, model).select("doc_id", "n_tokens", "ce_micro_nats")
+
+
+SQL_DOC_LM_SCORE = """
+WITH words AS (
+  SELECT d.doc_id, t.w AS word
+  FROM documents d, unnest(regexp_split_to_array(lower(d.text), '[^a-z]+')) AS t(w)
+  WHERE t.w <> ''
+),
+counts AS (SELECT word, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY word),
+vocab AS (SELECT word, tf FROM counts ORDER BY tf DESC, word ASC LIMIT 200),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) + CAST(count(*) AS DOUBLE) + 1.0 AS denom FROM vocab),
+model AS (
+  SELECT word, CAST(round(ln((tf + 1) / tot.denom), 6) AS DECIMAL(20,6)) AS logp
+  FROM vocab CROSS JOIN tot
+),
+oovp AS (SELECT CAST(round(ln(1.0 / denom), 6) AS DECIMAL(20,6)) AS logp FROM tot),
+scored AS (
+  SELECT w.doc_id, COALESCE(m.logp, o.logp) AS logp
+  FROM words w LEFT JOIN model m USING (word) CROSS JOIN oovp o
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       (2 * CAST(-sum(logp) * 1000000 AS BIGINT) + count(*)) // (2 * count(*))
+         AS ce_micro_nats
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_events_range_frame(spark, sf):
     """Time-interval RANGE window frame — the value-range sibling of
     `events_moving_avg`'s ROWS frame: per event, count + decimal-exact
@@ -2710,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "value_approx_quantiles": q_value_approx_quantiles,
         "events_range_frame": q_events_range_frame,
+        "doc_lm_score": q_doc_lm_score,
         "doc_containment": q_doc_containment,
         "doc_windows": q_doc_windows,
     }
@@ -2785,6 +2827,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": SQL_SEMDEDUP,
         "value_approx_quantiles": SQL_VALUE_APPROX_QUANTILES,
         "events_range_frame": SQL_EVENTS_RANGE_FRAME,
+        "doc_lm_score": SQL_DOC_LM_SCORE,
         "doc_containment": SQL_DOC_CONTAINMENT,
         "doc_windows": SQL_DOC_WINDOWS,
     }

@@ -519,3 +519,44 @@ def test_export_jsonl_shards_roundtrip_deterministic_and_verified(spark, tmp_pat
         f.write('{"doc_id": 999999, "text": "injected"}\n')
     res = {r["shard"]: r["ok"] for r in verify_export(spark, p1).collect()}
     assert sum(1 for v in res.values() if not v) == 1
+
+
+def test_lm_score_ranks_gibberish_above_typical(spark):
+    """The unigram quality scorer (CCNet perplexity-filter core):
+    corpus-typical text scores LOW cross-entropy, OOV gibberish scores
+    at the OOV ceiling, and the exact integer micro-nat score equals
+    an independent Python recomputation of the same model."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from chunker_spark.ops.lm_score import lm_cross_entropy, unigram_model
+
+    typical = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, typical + f" variant {i % 7}") for i in range(40)]
+    rows.append((100, "zzqx vvkw jjqz xxoq pplm zzqx"))  # pure OOV gibberish
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    model = unigram_model(df, vocab_size=10)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["ce_micro_nats"])
+        for r in lm_cross_entropy(df, model).collect()
+    }
+    assert got[100][1] > got[0][1]  # gibberish far from the corpus
+
+    # independent scalar recomputation (same smoothing, same cut)
+    words = []
+    for _, t in rows:
+        words += [w for w in "".join(c if c.isalpha() else " " for c in t.lower()).split()]
+    counts = Counter(words)
+    vocab = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    denom = float(sum(tf for _, tf in vocab)) + len(vocab) + 1.0
+    logp = {w: Decimal(str(round(math.log((tf + 1) / denom), 6))) for w, tf in vocab}
+    oov = Decimal(str(round(math.log(1.0 / denom), 6)))
+
+    for doc_id, text in rows:
+        ws = [w for w in "".join(c if c.isalpha() else " " for c in text.lower()).split()]
+        total = sum(logp.get(w, oov) for w in ws)
+        p = int(-total * 1_000_000)
+        n = len(ws)
+        assert got[doc_id] == (n, (2 * p + n) // (2 * n)), doc_id
