@@ -16,7 +16,8 @@ webdataset/tfrecord). The export must be:
   total bytes, order-insensitive content digest) is written beside the
   shards; `verify_export` recomputes it from the shard files
   themselves, so a truncated or bit-rotten shard is caught before a
-  training run consumes it.
+  training run consumes it (the digest covers id AND text, so an
+  id-swap is as detectable as a text flip).
 
 Rows within a shard are sorted by id (`sortWithinPartitions`), making
 file bytes a pure function of the data — the same reproducibility
@@ -63,12 +64,13 @@ def export_jsonl_shards(
         .partitionBy("shard")
         .json(path)
     )
+    row_repr = F.concat_ws("\x1f", F.col(id_col).cast("string"), F.col(text_col))
     manifest = (
         tagged.groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.length(F.col(text_col).cast("binary"))).alias("total_bytes"),
-            _content_digest(F.col(text_col)).alias("digest"),
+            _content_digest(row_repr).alias("digest"),
         )
         .orderBy("shard")
     )
@@ -96,7 +98,9 @@ def verify_export(
         .agg(
             F.count(F.lit(1)).alias("a_docs"),
             F.sum(F.length(F.col(text_col).cast("binary"))).alias("a_bytes"),
-            _content_digest(F.col(text_col)).alias("a_digest"),
+            _content_digest(
+                F.concat_ws("\x1f", F.col(id_col).cast("string"), F.col(text_col))
+            ).alias("a_digest"),
         )
     )
     return (
