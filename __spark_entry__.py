@@ -461,7 +461,7 @@ def q_ann_topk(spark, sf):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return brute_force_topk(v, q, k=5).select(
-        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+        "query_id", "vec_id", (F.col("cosine") + F.lit(0.0)).alias("cosine"), "rank"
     )
 
 
@@ -476,7 +476,7 @@ WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
                  * sqrt(list_sum(list_transform(q.qemb, x -> x*x)))), 6) AS cosine
        FROM v CROSS JOIN q
      )
-SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank
+SELECT query_id, vec_id, cosine + 0.0 AS cosine, rank
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM scored
@@ -490,7 +490,7 @@ def q_embedding_dedup(spark, sf):
 
     v = _t(spark, sf, "embeddings")
     return embedding_near_dup_pairs(v, threshold=0.35).select(
-        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+        "id_a", "id_b", "cosine"
     )
 
 
@@ -504,7 +504,7 @@ WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
                  * sqrt(list_sum(list_transform(r.emb, x -> x*x)))), 6) AS cosine
        FROM v l JOIN v r ON l.vec_id < r.vec_id
      )
-SELECT id_a, id_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= 0.35
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
 """
 
 
@@ -2431,8 +2431,10 @@ def q_customer_value_pctrank(spark, sf):
     """percent_rank / cume_dist coverage: customers ranked by exact
     DECIMAL spend within their nation. Both window values are small
     integer ratios ((rank-1)/(n-1), peers/n) — IEEE division of exact
-    integers, bit-identical across engines, no rounding policy
-    needed (rounded to 6 anyway for display)."""
+    integers, bit-identical across engines, emitted RAW: rounding them
+    (tried in round 4) put (rank-1)/(n-1)=.0640625 exactly on the
+    round-6 half boundary at sf0.1, which Spark (decimal-string) and
+    DuckDB (raw-bits) resolve differently."""
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
     spend = (
@@ -2449,8 +2451,12 @@ def q_customer_value_pctrank(spark, sf):
         "c_custkey",
         F.col("c_nationkey").cast("long").alias("nationkey"),
         "spend",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        # raw quotients: (rank-1)/(n-1) and peers/n are IEEE divisions
+        # of identical exact integers on both engines — bit-identical.
+        # round(...,6) sat ON the .5 boundary at sf0.1 ((rank-1)/(n-1)
+        # = .0640625) and double-rounded differently across engines.
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
     )
 
 
@@ -2460,8 +2466,8 @@ WITH spend AS (
   FROM orders GROUP BY o_custkey
 )
 SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey, spend,
-       round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY spend), 6) AS pct_rank,
-       round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY spend), 6) AS cume_dist
+       percent_rank() OVER (PARTITION BY c_nationkey ORDER BY spend) AS pct_rank,
+       cume_dist() OVER (PARTITION BY c_nationkey ORDER BY spend) AS cume_dist
 FROM customer JOIN spend ON c_custkey = o_custkey
 """
 
