@@ -714,7 +714,9 @@ def q_doc_containment(spark, sf):
     )
     union = d.unionByName(planted).repartition(spark.sparkContext.defaultParallelism)
     pairs = containment_pairs(union, n=3, threshold=1.0)
-    return pairs.where(F.col("id_b") - F.col("id_a") == _COPY_OFFSET)
+    return pairs.where(F.col("id_b") - F.col("id_a") == _COPY_OFFSET).select(
+        "id_a", "id_b", "containment"
+    )
 
 
 SQL_DOC_CONTAINMENT = f"""
@@ -1544,9 +1546,11 @@ WITH raw AS (SELECT value FROM read_parquet('{path}')),
 parsed AS (
   SELECT CASE json_extract_string(value, '$.metadata.operation')
            WHEN 'load' THEN 0
-           ELSE TRY_CAST(json_extract_string(value, '$.metadata."transaction-id"') AS BIGINT)
-                * {shift}
-                + COALESCE(TRY_CAST(json_extract_string(value, '$.metadata."transaction-record-id"') AS BIGINT), 0)
+           ELSE COALESCE(
+             TRY_CAST(json_extract_string(value, '$.metadata."transaction-id"') AS BIGINT)
+               * {shift}
+               + COALESCE(TRY_CAST(json_extract_string(value, '$.metadata."transaction-record-id"') AS BIGINT), 0),
+             epoch_us(TRY_CAST(json_extract_string(value, '$.metadata.timestamp') AS TIMESTAMP)))
          END AS seq,
          CASE json_extract_string(value, '$.metadata.operation')
            WHEN 'load' THEN 'I' WHEN 'insert' THEN 'I'

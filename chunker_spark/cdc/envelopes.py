@@ -395,10 +395,12 @@ def parse_dms(raw: DataFrame, value_col: str = "value", keep_raw: bool = False) 
 
 def dms_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:
     """Write the deterministic DMS-envelope fixture (parquet, one
-    ``value`` JSON string column) once and return its path. 71 records
-    over 23 (repo,path) keys exercising the full-load→CDC cutover: 23
+    ``value`` JSON string column) once and return its path. 74 records
+    over 25 (repo,path) keys exercising the full-load→CDC cutover: 23
     ``load`` snapshot rows (seq 0 by contract; keys 20-22 never see
-    CDC and must survive at snapshot content), txn 101 updates keys
+    CDC and must survive at snapshot content), 3 timestamp-mode CDC
+    records on dedicated keys 30/31 (no transaction details — the
+    commit-timestamp-microsecond fallback order), txn 101 updates keys
     0-19, txn 102 updates them again (must win on the txn bits), txn
     103 touches key 3 TWICE (record-ids 5 then 17 — the within-txn
     order decides), txn 104 deletes keys 2/7/11, plus one ``control``
@@ -443,6 +445,12 @@ def dms_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:
         # keys 20-22 are never touched by CDC — they must survive at
         # seq 0 with their snapshot content
         values.append(rec("load", k, ts="2024-03-01T00:00:00.000000Z"))
+    # timestamp-mode CDC (task without IncludeTransactionDetails) on
+    # DEDICATED keys 30/31 — commit-timestamp microseconds are the
+    # order; never mixed with txn-packed keys (task-level setting)
+    values.append(rec("insert", 30, ts="2024-03-01T05:00:00.000000Z", content_tag="t1"))
+    values.append(rec("update", 30, ts="2024-03-01T05:00:01.500000Z", content_tag="t2"))
+    values.append(rec("insert", 31, ts="2024-03-01T05:00:02.250000Z", content_tag="t1"))
     for i, k in enumerate(range(20)):  # txn 101: first CDC update wave
         values.append(rec("update", k, txn=101, recid=i, ts="2024-03-01T01:00:00.000000Z", content_tag="v1"))
     for i, k in enumerate(range(20)):  # txn 102: second wave — wins LWW

@@ -474,20 +474,26 @@ def replay_dlq(
     )
     if not run_dirs:
         return {"replayed": 0, "still_bad": 0, "batch_id": None, "commit": None}
-    raw = spark.read.parquet(*[os.path.join(root, d) for d in run_dirs]).select("value")
+    # ONE scan of the quarantine: everything downstream (digest,
+    # parse/split, merge, re-quarantine write) reads the checkpointed
+    # blocks, and — critically — the re-quarantine write can safely
+    # target a directory that was among the SOURCE dirs (consecutive
+    # replays over an unchanged still-bad set produce the same digest
+    # and hence the same replay dir name; without the checkpoint,
+    # overwrite would delete the files mid-read).
+    raw = (
+        spark.read.parquet(*[os.path.join(root, d) for d in run_dirs])
+        .select("value")
+        .localCheckpoint(eager=True)
+    )
     # content-derived batch id: stable across retries AND across runs
     # that quarantine the same payloads — the idempotency key is the
     # data, not the wall clock. Computed DISTRIBUTED (never collecting
-    # payloads to the driver): an order-insensitive DECIMAL(38,0) sum
-    # of per-row 60-bit sha256 prefixes — commutative, overflow-free,
-    # accidental-collision odds ~2^-60 per pair.
+    # payloads to the driver) via the shared order-insensitive digest.
+    from ..functions.digests import content_digest
+
     stats = raw.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.conv(
-                F.substring(F.sha2(F.col("value").cast("binary"), 256), 1, 15), 16, 10
-            ).cast("decimal(38,0)")
-        ).alias("dig"),
+        F.count(F.lit(1)).alias("n"), content_digest("value").alias("dig")
     ).collect()[0]
     total = int(stats["n"])
     if total == 0:
@@ -502,11 +508,14 @@ def replay_dlq(
     # rows that are (key, seq)-identical to the committed ones, which
     # the max-seq MERGE resolves to the same final state
     n_bad = still_bad.count()
+    replay_dir = f"ingest_run=replay-{batch_id[-16:]}"
     if n_bad:
         still_bad.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(root, f"ingest_run=replay-{batch_id[-16:]}", "batch_id=0")
+            os.path.join(root, replay_dir, "batch_id=0")
         )
     for d in run_dirs:
+        if n_bad and d == replay_dir:
+            continue  # the just-written survivors: never remove
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return {
         "replayed": total - n_bad,

@@ -544,6 +544,13 @@ def containment_pairs(
     and ``max_ngrams`` bounds per-document fan-out on unbounded
     corpora. Verification rejoins the full sorted gram arrays and is
     exact JVM `array_intersect` work.
+
+    Returns (id_a, id_b, containment, n_a, n_b) with id_a < id_b;
+    ``n_a``/``n_b`` are the distinct-gram counts, so the smaller side
+    (the contained fragment) is identifiable. Zero-gram documents
+    (< n words after the `\W+` split) produce no pairs — corpora with
+    sub-n-word or heavily non-ASCII texts should pre-filter with the
+    same tokenizer if completeness over them matters.
     """
     grams_udf = _word_ngram_udf(n, max_ngrams)
     g = (
@@ -596,5 +603,14 @@ def containment_pairs(
             ).cast("double"),
         )
         .where(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "containment")
+        # n_a/n_b expose the DIRECTION: the side with fewer grams is
+        # the (near-)contained fragment — callers pruning partial
+        # copies drop that side, not blindly the higher id
+        .select(
+            "id_a",
+            "id_b",
+            "containment",
+            F.size("ga").alias("n_a"),
+            F.size("gb").alias("n_b"),
+        )
     )

@@ -31,15 +31,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-#: 60-bit per-row sha256 prefix summed as DECIMAL(38,0): commutative,
-#: overflow-free, order-insensitive — same digest family as the DLQ
-#: replay batch id.
-def _content_digest(col: F.Column) -> F.Column:
-    return F.sum(
-        F.conv(F.substring(F.sha2(col.cast("binary"), 256), 1, 15), 16, 10).cast(
-            "decimal(38,0)"
-        )
-    )
+from ..functions.digests import content_digest as _content_digest
 
 
 def export_jsonl_shards(

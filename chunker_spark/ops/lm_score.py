@@ -56,8 +56,13 @@ def unigram_model(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # the corpus-wide explode+aggregate runs ONCE: the V-row vocab is
+    # checkpointed, so the totals collect below, the <oov> lookup and
+    # the scoring join all read V cached rows, never the corpus again
     vocab = (
-        counts.orderBy(F.desc("tf"), F.asc("word")).limit(vocab_size)
+        counts.orderBy(F.desc("tf"), F.asc("word"))
+        .limit(vocab_size)
+        .localCheckpoint(eager=True)
     )
     totals = vocab.agg(
         F.sum("tf").alias("n"), F.count(F.lit(1)).alias("v")

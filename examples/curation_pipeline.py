@@ -110,11 +110,16 @@ def main() -> None:
 
     # 4b. containment prune: drop partial copies — a doc >=90% of
     # whose n-grams appear inside another surviving doc (the case a
-    # Jaccard threshold structurally misses when sizes differ). House
-    # deterministic keep rule: the lower doc_id of each pair survives.
+    # Jaccard threshold structurally misses when sizes differ). Drop
+    # the CONTAINED side — the one with fewer grams (ties: higher id)
+    # — keeping the superset document.
+    cpairs = containment_pairs(canonical, n=3, threshold=0.9)
     contained = (
-        containment_pairs(canonical, n=3, threshold=0.9)
-        .select(F.col("id_b").alias("doc_id"))
+        cpairs.select(
+            F.when(F.col("n_a") < F.col("n_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id")
+        )
         .distinct()
     )
     canonical = canonical.join(contained, "doc_id", "left_anti")

@@ -1000,11 +1000,21 @@ def test_replay_dlq_exactly_once_and_requarantine(spark, tmp_path):
     assert {r.path: r.content for r in lake.read().collect()} == state
     assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
 
+    # THIRD replay: the still-bad set is unchanged, so the replay dir
+    # name now collides with its own source dir — the payload must
+    # survive the overwrite-then-cleanup cycle (checkpoint + cleanup
+    # exclusion), not vanish
+    res3 = replay_dlq(lake, "maxwell", params=params)
+    assert res3["replayed"] == 0 and res3["still_bad"] == 1
+    assert res3["batch_id"] == res2["batch_id"]  # same content, same id
+    assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
+    assert {r.path: r.content for r in lake.read().collect()} == state
+
     # empty-quarantine no-op once the broken payload is purged
     import shutil
     shutil.rmtree(f"{lake.root}/dlq")
-    res3 = replay_dlq(lake, "maxwell", params=params)
-    assert res3 == {"replayed": 0, "still_bad": 0, "batch_id": None, "commit": None}
+    res4 = replay_dlq(lake, "maxwell", params=params)
+    assert res4 == {"replayed": 0, "still_bad": 0, "batch_id": None, "commit": None}
 
 
 def test_signature_store_rejects_param_mismatch(spark, tmp_path):

@@ -891,7 +891,7 @@ def test_dms_fixture_cutover_and_splits(spark):
     raw = spark.read.parquet(p1)
     clean, dlq = split_malformed(raw, parser=parse_dms)
     assert dlq.count() == 2
-    assert clean.count() == 23 + 20 + 20 + 2 + 3  # control contributes none
+    assert clean.count() == 23 + 3 + 20 + 20 + 2 + 3  # control contributes none
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
@@ -901,7 +901,11 @@ def test_dms_fixture_cutover_and_splits(spark):
         .where((F.col("rn") == 1) & (F.col("op") != "D"))
         .collect()
     }
-    assert len(final) == 23 - 3  # three keys tombstoned in txn 104
+    assert len(final) == 23 + 2 - 3  # three keys tombstoned in txn 104
+    # timestamp-mode keys order on commit-timestamp microseconds
+    assert final["svc/d30.py"].commit == "t2-30"
+    assert final["svc/d30.py"].seq == 1709269201500000
+    assert final["svc/d31.py"].commit == "t1-31"
     # within-txn order: record-id 17 of txn 103 beats record-id 5
     assert final["svc/d3.py"].seq == (103 << DMS_PACK_SHIFT) + 17
     assert final["svc/d3.py"].commit == "v3b-3"
