@@ -2599,6 +2599,62 @@ FROM events GROUP BY event_type
 """
 
 
+def q_event_freq_cms(spark, sf):
+    """Frequency-sketch aggregation (count-min sketch, `ops/sketches.py`):
+    per-event-type frequency estimated from a single fixed-size CMS
+    next to the exact count, oracle-checked as an INVARIANT like the
+    HLL and GK queries — the sketch cells are implementation-specific,
+    but its published contract is not: the estimate may never
+    undercount (`overcount_ok`) and must overcount by at most eps*N
+    (`within_eps`, eps=1e-3, confidence=0.99, fixed seed so the run is
+    deterministic), while `exact_cnt` must match DuckDB bit-for-bit.
+
+    Completes the sketch family (HLL = distinct, GK = quantile,
+    CMS = per-key frequency — the heavy-hitter primitive behind
+    per-domain crawl caps and hot-key detection). Scale shape: the
+    sketch is map-side combinable fixed state, so the shuffle carries
+    one ~80 KB binary per partition, never rows; the only collects are
+    the one bounded binary and the top-16 key rows (deterministic
+    count-then-key ordering), both O(1) in the corpus."""
+    import math
+
+    from chunker_spark.ops.sketches import cms_estimates, cms_sketch_bytes
+
+    eps, confidence, seed = 1e-3, 0.99, 42
+    ev = _t(spark, sf, "events")
+    sk = cms_sketch_bytes(ev, "event_type", eps, confidence, seed)
+    top = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "event_type")
+        .limit(16)
+    )
+    keys = [r["event_type"] for r in top.select("event_type").collect()]
+    est, n_total = cms_estimates(spark, sk, keys)
+    bound = math.ceil(eps * n_total)
+    est_map = F.create_map(*[x for k in keys for x in (F.lit(k), F.lit(est[k]))])
+    return top.select(
+        "event_type",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        (est_map[F.col("event_type")] >= F.col("exact_cnt")).alias("overcount_ok"),
+        (est_map[F.col("event_type")] <= F.col("exact_cnt") + F.lit(bound)).alias(
+            "within_eps"
+        ),
+    )
+
+
+SQL_EVENT_FREQ_CMS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS exact_cnt,
+       TRUE AS overcount_ok,
+       TRUE AS within_eps
+FROM events
+GROUP BY event_type
+ORDER BY exact_cnt DESC, event_type
+LIMIT 16
+"""
+
+
 def q_semdedup(spark, sf):
     """SemDeDup (`ops/semdedup.py`, Abbas et al. arXiv:2303.09540):
     k-means cluster the embeddings (same deterministic 8-lowest-id
@@ -2760,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_value_pctrank": q_customer_value_pctrank,
         "semdedup": q_semdedup,
         "value_approx_quantiles": q_value_approx_quantiles,
+        "event_freq_cms": q_event_freq_cms,
         "events_range_frame": q_events_range_frame,
         "doc_lm_score": q_doc_lm_score,
         "doc_containment": q_doc_containment,
@@ -2836,6 +2893,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_value_pctrank": SQL_CUSTOMER_VALUE_PCTRANK,
         "semdedup": SQL_SEMDEDUP,
         "value_approx_quantiles": SQL_VALUE_APPROX_QUANTILES,
+        "event_freq_cms": SQL_EVENT_FREQ_CMS,
         "events_range_frame": SQL_EVENTS_RANGE_FRAME,
         "doc_lm_score": SQL_DOC_LM_SCORE,
         "doc_containment": SQL_DOC_CONTAINMENT,

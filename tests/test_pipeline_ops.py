@@ -560,3 +560,57 @@ def test_lm_score_ranks_gibberish_above_typical(spark):
         p = int(-total * 1_000_000)
         n = len(ws)
         assert got[doc_id] == (n, (2 * p + n) // (2 * n)), doc_id
+
+
+# ---------------------------------------------------------------------
+# count-min sketch (ops/sketches.py)
+# ---------------------------------------------------------------------
+
+
+def test_cms_contract_on_skewed_keys(spark):
+    """The two halves of the CMS contract on a deliberately skewed key
+    column: never undercounts, overcounts by <= eps*N (deterministic
+    with a fixed seed); an absent key's estimate is pure collision
+    mass, also bounded by eps*N."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from chunker_spark.ops.sketches import cms_estimates, cms_sketch_bytes
+
+    # 10k rows, zipf-ish: key k repeated ~10000/(k+1) times
+    rows = [(f"k{k}",) for k in range(50) for _ in range(10_000 // (k + 1))]
+    df = spark.createDataFrame(rows, "key string").repartition(8)
+    n = len(rows)
+    exact = {}
+    for k, in rows:
+        exact[k] = exact.get(k, 0) + 1
+
+    eps = 1e-3
+    sk = cms_sketch_bytes(df, "key", eps=eps, confidence=0.99, seed=7)
+    keys = sorted(exact) + ["absent-key"]
+    est, total = cms_estimates(spark, sk, keys)
+    assert total == n
+    bound = math.ceil(eps * n)
+    for k, c in exact.items():
+        assert est[k] >= c, (k, est[k], c)
+        assert est[k] <= c + bound, (k, est[k], c, bound)
+    assert 0 <= est["absent-key"] <= bound
+
+
+def test_cms_integral_keys_and_merge_equivalence(spark):
+    """Integral keys round-trip through the py4j overload, and the
+    distributed (partitioned, merged) sketch equals the single-
+    partition sketch bit-for-bit — the map-side-combine contract."""
+    from pyspark.sql import functions as F
+
+    from chunker_spark.ops.sketches import cms_estimates, cms_sketch_bytes
+
+    df = spark.range(0, 5_000).select((F.col("id") % 97).alias("key"))
+    sk_many = cms_sketch_bytes(df.repartition(8), "key", seed=11)
+    sk_one = cms_sketch_bytes(df.coalesce(1), "key", seed=11)
+    assert sk_many == sk_one
+    est, total = cms_estimates(spark, sk_many, [0, 1, 96])
+    assert total == 5_000
+    # 5000/97 = 51 r 53 -> keys 0..52 occur 52 times, the rest 51
+    assert est[0] >= 52 and est[96] >= 51
