@@ -2655,6 +2655,150 @@ LIMIT 16
 """
 
 
+def q_events_props_variant(spark, sf):
+    """Semi-structured VARIANT path (Spark 4): `parse_json` shreds the
+    props JSON into the binary VARIANT encoding once, then typed
+    `try_variant_get` extraction + `schema_of_variant` run over the
+    shredded form — at 100 TB this replaces per-access string
+    re-tokenization (`get_json_object`, the `events_props_json` query)
+    with one decode per row and O(1) typed field reads, Spark's
+    intended scale path for JSON columns. Oracle: exact per-type
+    aggregates of the extracted field bit-equal to DuckDB's JSON
+    functions; the absent-path probe must be null on every row
+    (try_variant_get, not variant_get, so a missing path is data, not
+    an exception), and the observed per-row variant schema must be the
+    single pinned literal."""
+    e = _t(spark, sf, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    absent = F.try_variant_get(v, "$.absent", "string")
+    return (
+        e.select(
+            "event_type",
+            k.alias("k"),
+            absent.alias("absent"),
+            F.schema_of_variant(v).alias("vs"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("k_present"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("int").alias("k_min"),
+            F.max("k").cast("int").alias("k_max"),
+            F.count("absent").alias("absent_present"),
+            F.count_distinct("vs").alias("n_schemas"),
+            F.min("vs").alias("vschema"),
+        )
+    )
+
+
+SQL_EVENTS_PROPS_VARIANT = """
+SELECT event_type,
+       CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS k_present,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_min,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max,
+       CAST(0 AS BIGINT) AS absent_present,
+       CAST(1 AS BIGINT) AS n_schemas,
+       'OBJECT<k: BIGINT>' AS vschema
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_user_distinct_rollup(spark, sf):
+    """Sketch MERGEABILITY (`hll_sketch_agg` + `hll_union_agg`): the
+    100 TB reaggregation pattern — materialize one fixed-size HLL
+    sketch per (event_type, day) partial, then answer the coarser
+    per-type distinct by UNIONING the stored sketches, never
+    re-touching raw rows. The union estimates the distinct of the
+    union (NOT the sum of dailies — users active on many days count
+    once), which is exactly what no non-sketch partial can do without
+    a re-shuffle of the raw keys. Oracle as invariant, like the other
+    sketch queries: n_days and exact_users bit-equal to DuckDB, the
+    union-sketch estimate within the 5% gate."""
+    ev = _t(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return rolled.join(exact, "event_type").select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_tol"),
+    )
+
+
+SQL_USER_DISTINCT_ROLLUP = """
+SELECT event_type,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_tol
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_events_session_window(spark, sf):
+    """Native session windows (`F.session_window`, via
+    `cdc.streaming.session_window_stats`): per-user sessions that
+    extend while consecutive events arrive within a 12-hour gap,
+    window = [first event, last event + gap). This is the
+    streaming-native complement to the custom `events_sessions`
+    operator — on a stream Spark holds one state row per OPEN session
+    and finalizes it when the watermark passes session end; the batch
+    run here evaluates the identical expression, so the full-value
+    DuckDB oracle (lag/cumsum island SQL) pins BOTH surfaces (the
+    streaming≡batch test is test_streaming_dedup.py). Boundary: an
+    event at exactly +gap starts a new session (half-open interval),
+    hence >= in the oracle. One hash exchange on user_id; state
+    fixed-width per open session."""
+    from chunker_spark.cdc.streaming import session_window_stats
+
+    e = _t(spark, sf, "events")
+    return session_window_stats(
+        e, key_col="user_id", ts_col="ts", gap="12 hours"
+    ).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+SQL_EVENTS_SESSION_WINDOW = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 12 HOUR
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 12 HOUR AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, sid
+"""
+
+
 def q_semdedup(spark, sf):
     """SemDeDup (`ops/semdedup.py`, Abbas et al. arXiv:2303.09540):
     k-means cluster the embeddings (same deterministic 8-lowest-id
@@ -2817,6 +2961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "value_approx_quantiles": q_value_approx_quantiles,
         "event_freq_cms": q_event_freq_cms,
+        "events_props_variant": q_events_props_variant,
+        "user_distinct_rollup": q_user_distinct_rollup,
+        "events_session_window": q_events_session_window,
         "events_range_frame": q_events_range_frame,
         "doc_lm_score": q_doc_lm_score,
         "doc_containment": q_doc_containment,
@@ -2894,6 +3041,9 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": SQL_SEMDEDUP,
         "value_approx_quantiles": SQL_VALUE_APPROX_QUANTILES,
         "event_freq_cms": SQL_EVENT_FREQ_CMS,
+        "events_props_variant": SQL_EVENTS_PROPS_VARIANT,
+        "user_distinct_rollup": SQL_USER_DISTINCT_ROLLUP,
+        "events_session_window": SQL_EVENTS_SESSION_WINDOW,
         "events_range_frame": SQL_EVENTS_RANGE_FRAME,
         "doc_lm_score": SQL_DOC_LM_SCORE,
         "doc_containment": SQL_DOC_CONTAINMENT,
