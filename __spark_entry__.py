@@ -1036,6 +1036,66 @@ SELECT doc_id, rep_id FROM g WHERE n > 1
 """
 
 
+def q_dedup_keep_best(spark, sf):
+    """Retention policy after dedup clustering (`ops.curation.
+    retain_canonical`): every document gains a planted TRUNCATED copy
+    (first 60% of its chars — the partial-copy shape real crawls
+    produce), members cluster on a normalized 200-char-prefix
+    fingerprint, and exactly one survivor per cluster is kept — the
+    highest-score member (score = char length, so the superstring wins
+    over its truncation), ties to the lowest id. Full per-row value
+    oracle: doc_id, stable cluster rep, member count, kept verdict,
+    score. Docs shorter than the prefix window whose truncation
+    diverges fall out as singletons (kept) — the oracle reproduces
+    that edge rather than hiding it. Scale shape: single Exchange on
+    the fixed-width fingerprint; argmax + rep/size ride the same
+    window partitioning; raw text never shuffles."""
+    from chunker_spark.ops.curation import retain_canonical
+
+    base = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = base.select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(ceil(length(text) * 0.6) as int))"
+        ).alias("text"),
+    )
+    d = base.unionByName(planted)
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    members = d.select(
+        "doc_id",
+        F.sha2(F.substring(norm, 1, 200).cast("binary"), 256).alias("cluster"),
+        F.length("text").cast("long").alias("score"),
+    )
+    return retain_canonical(members).select(
+        "doc_id", "rep", "n_members", "kept", "score"
+    )
+
+
+SQL_DEDUP_KEEP_BEST = rf"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET} AS doc_id,
+         substring(text, 1, CAST(ceil(length(text) * 0.6) AS INTEGER)) AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         substring(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 200) AS cluster,
+         CAST(length(text) AS BIGINT) AS score
+  FROM docs
+),
+g AS (
+  SELECT doc_id, score,
+         min(doc_id) OVER (PARTITION BY cluster) AS rep,
+         CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members,
+         row_number() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) AS rk
+  FROM m
+)
+SELECT doc_id, rep, n_members, (rk = 1) AS kept, score FROM g
+"""
+
+
 def q_cdc_changes(spark, sf):
     """Change-data-feed read between two commits (incremental
     consumption): replay the 300-event fixture as two batches, then ask
@@ -2914,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": q_doc_split,
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "embedding_quantize": q_embedding_quantize,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
@@ -2994,6 +3055,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split": SQL_DOC_SPLIT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
         "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
         "embedding_dedup": SQL_EMBEDDING_DEDUP,
         "embedding_dedup_lsh": SQL_EMBEDDING_DEDUP_LSH,

@@ -185,3 +185,40 @@ def weighted_sample(
         .orderBy(F.col(key_col).desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def retain_canonical(
+    members: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-cluster canonical-survivor selection: the retention decision
+    a curation pipeline applies AFTER dedup clustering (exact groups,
+    MinHash/CC clusters, containment groups) — keep exactly one member
+    per cluster, the one with the highest ``score_col``, ties broken by
+    lowest id so the choice is deterministic under re-partitioning.
+
+    Input: one row per cluster member carrying (id, cluster, score);
+    singletons are ordinary size-1 clusters. Output adds ``kept``
+    (exactly one true per cluster), ``rep`` (the cluster's minimum id —
+    a stable cluster name independent of the score), and ``n_members``.
+
+    Scale shape: one hash exchange on ``cluster_col``; both the argmax
+    (row_number) and the rep/size (min/count) ride the SAME sort-free
+    window partitioning, so Spark plans a single Exchange followed by
+    window evaluation — no self-join, no second shuffle. Score payload
+    is a scalar; document text never enters the shuffle.
+    """
+    w = Window.partitionBy(cluster_col)
+    wo = Window.partitionBy(cluster_col).orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    return members.select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.col(score_col),
+        F.min(id_col).over(w).alias("rep"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_members"),
+        (F.row_number().over(wo) == 1).alias("kept"),
+    )

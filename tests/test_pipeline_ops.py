@@ -614,3 +614,34 @@ def test_cms_integral_keys_and_merge_equivalence(spark):
     assert total == 5_000
     # 5000/97 = 51 r 53 -> keys 0..52 occur 52 times, the rest 51
     assert est[0] >= 52 and est[96] >= 51
+
+
+def test_retain_canonical_argmax_ties_and_single_exchange(spark):
+    """Exactly one kept per cluster; argmax by score with lowest-id
+    tiebreak; singletons kept; and the plan carries ONE Exchange (both
+    windows reuse the same cluster partitioning)."""
+    from pyspark.sql import functions as F
+
+    from chunker_spark.ops.curation import retain_canonical
+
+    rows = [
+        (1, "a", 10), (2, "a", 30), (3, "a", 30),   # tie at 30 -> id 2 wins
+        (7, "b", 5),                                  # singleton
+        (8, "c", 1), (9, "c", 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cluster string, score long")
+    out = retain_canonical(df)
+    # capture before the action: a finalized AQE plan prints Final +
+    # Initial sections and would double-count the one Exchange
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = out._jdf.queryExecution().explainString(jmode)
+    assert plan.count("Exchange") == 1, plan
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert [got[i]["kept"] for i in (1, 2, 3)] == [False, True, False]
+    assert got[7]["kept"] and got[7]["n_members"] == 1 and got[7]["rep"] == 7
+    assert got[9]["kept"] and not got[8]["kept"]
+    assert got[3]["rep"] == 1 and got[3]["n_members"] == 3
+    per_cluster = (
+        out.where("kept").groupBy("cluster").count().select("count").collect()
+    )
+    assert all(r["count"] == 1 for r in per_cluster)
