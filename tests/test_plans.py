@@ -530,3 +530,37 @@ def test_aqe_skew_join_splits_mega_cluster(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_variant_query_is_jvm_side_and_pruned(spark):
+    """events_props_variant: VARIANT shred + typed gets are JVM
+    expressions (no Python in the plan), and the scan reads only the
+    two referenced columns."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_events_props_variant(spark, SF))
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" in read_schema and "event_type" in read_schema
+    assert "value" not in read_schema and "user_id" not in read_schema
+
+
+def test_session_window_single_exchange(spark):
+    """events_session_window: one hash Exchange on the key; the
+    session-window aggregation rides it (no second shuffle)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_events_session_window(spark, SF), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_hll_union_rollup_two_level_aggregate(spark):
+    """user_distinct_rollup: the daily partial and the union rollup are
+    hash aggregates with map-side partials; no Python, no sort-based
+    fallback for the sketch column."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_user_distinct_rollup(spark, SF), "simple")
+    assert "pythonUDF" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
