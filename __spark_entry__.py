@@ -1636,6 +1636,75 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_mongo_parse(spark, sf):
+    """Debezium MongoDB wire-format ingestion — the schemaless dialect:
+    row images arrive as extended-JSON document STRINGS (after/before),
+    shredded by a second JVM-side from_json; seq packs the oplog
+    position (ts_seconds*2^20 + ord — the fixture plants one key twice
+    within the SAME oplog second, so only ord resolves LWW); deletes
+    carry the full pre-image (change-stream pre/post images), and the
+    three contract DLQ shapes (pre-image-less delete,
+    updateDescription-only update, malformed JSON) divert in the same
+    scan without applying. Final last-writer-wins state: 8 never-updated
+    snapshot keys survive, 2 tombstones drop. The oracle restates parse
+    + packing + LWW with DuckDB JSON functions (json_extract_string on
+    the embedded document string)."""
+    from chunker_spark.cdc.envelopes import (
+        mongo_fixture_path,
+        parse_mongo,
+        split_malformed,
+    )
+
+    raw = spark.read.parquet(mongo_fixture_path())
+    clean, _dlq = split_malformed(raw, parser=parse_mongo)
+    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
+    return (
+        clean.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("repo", "path", "commit", "seq", F.sha2("content", 256).alias("content_sha256"))
+    )
+
+
+def _sql_mongo_parse() -> str:
+    from chunker_spark.cdc.envelopes import MONGO_PACK_SHIFT, mongo_fixture_path
+
+    path = mongo_fixture_path()  # ensure the fixture exists for DuckDB
+    shift = 1 << MONGO_PACK_SHIFT
+    return f"""
+WITH raw AS (SELECT value FROM read_parquet('{path}')),
+parsed AS (
+  SELECT CASE json_extract_string(value, '$.op')
+           WHEN 'c' THEN 'I' WHEN 'r' THEN 'I'
+           WHEN 'u' THEN 'U' WHEN 'd' THEN 'D' END AS op,
+         (TRY_CAST(json_extract_string(value, '$.source.ts_ms') AS BIGINT) // 1000)
+           * {shift}
+           + COALESCE(TRY_CAST(json_extract_string(value, '$.source.ord') AS BIGINT), 0) AS seq,
+         CASE WHEN json_extract_string(value, '$.op') = 'd'
+              THEN json_extract_string(value, '$.before')
+              ELSE json_extract_string(value, '$.after') END AS doc
+  FROM raw WHERE json_valid(value)
+),
+img AS (
+  SELECT op, seq,
+         json_extract_string(doc, '$.repo') AS repo,
+         json_extract_string(doc, '$.path') AS path,
+         json_extract_string(doc, '$.commit') AS commit,
+         json_extract_string(doc, '$.content') AS content
+  FROM parsed
+),
+clean AS (
+  SELECT * FROM img
+  WHERE op IS NOT NULL AND seq IS NOT NULL AND repo IS NOT NULL AND path IS NOT NULL
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM clean
+)
+SELECT repo, path, commit, seq, sha256(content) AS content_sha256
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_events_asof_click(spark, sf):
     """Backward as-of join: every purchase matched to the SAME user's
     latest click at-or-before the purchase instant (inner: purchases
@@ -1948,6 +2017,78 @@ def q_doc_contamination(spark, sf):
     d = _t(spark, sf, "documents")
     bench = d.where(F.col("doc_id") < 10).select("text")
     return ngram_contamination(d, bench, n=5).orderBy("doc_id")
+
+
+def q_doc_bloom(spark, sf):
+    """Bloom-filter decontamination (ops/bloom.py + bloom_decontaminate):
+    membership of every document's normalized-content fingerprint in a
+    reference set (docs with doc_id % 7 == 0), via a RELATIONAL bloom —
+    the m-bit array lives as (word_idx, bits) rows built with bit_or,
+    probed by broadcast join + map-side AND-reduce, so neither reference
+    strings nor fingerprints ever broadcast raw. Oracle is the sketch
+    INVARIANT, not the bits: per source, the exact member count (DuckDB
+    recomputes exact membership on the identical normalized text) plus
+    two gates that must hold — no_false_negatives (every exact member
+    bloom-flagged; mathematically guaranteed) and fp_bound_ok (false
+    positives <= 10x the sizing fpp + 16 slack)."""
+    from chunker_spark.ops.decontaminate import (
+        bloom_decontaminate,
+        normalized_fingerprint,
+    )
+
+    d = _t(spark, sf, "documents")
+    ref = d.where(F.col("doc_id") % 7 == 0).select("text")
+    verdict = bloom_decontaminate(d, ref, fpp=1e-3)
+    # exact membership on the SAME normalized text (not the hash): a
+    # non-reference doc whose content duplicates a reference doc IS a
+    # member — both sides agree on that by construction
+    ref_fp = (
+        d.where(F.col("doc_id") % 7 == 0)
+        .select(normalized_fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    exact = d.select(
+        "doc_id",
+        "source",
+        normalized_fingerprint("text").alias("fp"),
+    ).join(
+        F.broadcast(ref_fp.withColumn("is_member", F.lit(True))), "fp", "left"
+    ).select(
+        "doc_id", "source", F.coalesce("is_member", F.lit(False)).alias("exact")
+    )
+    per_doc = exact.join(verdict, "doc_id")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("exact").cast("long")).alias("n_members"),
+            F.bool_and(~F.col("exact") | F.col("bloom_hit")).alias(
+                "no_false_negatives"
+            ),
+            (
+                F.sum((F.col("bloom_hit") & ~F.col("exact")).cast("long"))
+                <= F.sum((~F.col("exact")).cast("long")) * 0.01 + 16
+            ).alias("fp_bound_ok"),
+        )
+        .select("source", "n_docs", "n_members", "no_false_negatives", "fp_bound_ok")
+    )
+
+
+SQL_DOC_BLOOM = """
+WITH fp AS (
+  SELECT doc_id, source,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+ref AS (SELECT DISTINCT norm FROM fp WHERE doc_id % 7 = 0)
+SELECT fp.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ref.norm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       TRUE AS no_false_negatives,
+       TRUE AS fp_bound_ok
+FROM fp LEFT JOIN ref ON fp.norm = ref.norm
+GROUP BY fp.source
+"""
 
 
 _DECON_GRAMS = (
@@ -2996,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wal2json_parse": q_wal2json_parse,
         "canal_parse": q_canal_parse,
         "dms_parse": q_dms_parse,
+        "mongo_parse": q_mongo_parse,
         "events_asof_click": q_events_asof_click,
         "events_asof_next": q_events_asof_next,
         "events_value_tiers": q_events_value_tiers,
@@ -3005,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_unpivot": q_lineitem_unpivot,
         "user_approx_distinct": q_user_approx_distinct,
         "doc_contamination": q_doc_contamination,
+        "doc_bloom": q_doc_bloom,
         "doc_repetition": q_doc_repetition,
         "doc_boilerplate": q_doc_boilerplate,
         "lineitem_zorder": q_lineitem_zorder,
@@ -3074,6 +3217,7 @@ def oracle_sql() -> dict[str, str]:
         "wal2json_parse": _sql_wal2json_parse(),
         "canal_parse": _sql_canal_parse(),
         "dms_parse": _sql_dms_parse(),
+        "mongo_parse": _sql_mongo_parse(),
         "events_asof_click": SQL_EVENTS_ASOF_CLICK,
         "events_asof_next": SQL_EVENTS_ASOF_NEXT,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,
@@ -3086,6 +3230,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _sql_media_features(),
         "doc_manifest": _sql_doc_manifest(),
         "doc_contamination": SQL_DOC_CONTAMINATION,
+        "doc_bloom": SQL_DOC_BLOOM,
         "doc_repetition": SQL_DOC_REPETITION,
         "doc_boilerplate": SQL_DOC_BOILERPLATE,
         "lineitem_zorder": _sql_lineitem_zorder(),

@@ -47,6 +47,18 @@ AWS DMS envelope (Kinesis/Kafka target, one JSON object per record):
                   "transaction-id": ..., "transaction-record-id": ...}}
 full-load rows order at seq 0 (written once, before CDC); control
 records are dropped (not DLQ'd).
+
+Debezium MongoDB envelope (the schemaless dialect — row images are
+extended-JSON document STRINGS, not structured records, because a Mongo
+collection has no fixed schema for the connector to emit):
+    {"op": "c|u|d|r", "ts_ms": 123,
+     "before": "<json doc>" | null, "after": "<json doc>" | null,
+     "source": {"rs": ..., "collection": ..., "ts_ms": <sec*1000>,
+                "ord": <per-second counter>}}
+requires full-document capture (capture.mode=
+change_streams_update_full_with_pre_image): deletes carry the full
+pre-image in ``before``; an updateDescription-only update or a
+pre-image-less delete has no row image and goes to the DLQ.
 """
 
 from __future__ import annotations
@@ -123,6 +135,18 @@ _DMS_SCHEMA = StructType(
     [
         StructField("data", MapType(StringType(), StringType()), True),
         StructField("metadata", MapType(StringType(), StringType()), True),
+    ]
+)
+
+# Debezium MongoDB: before/after are extended-JSON STRINGS (shredded by
+# a second from_json into map<string,string>), never structured records.
+_MONGO_SCHEMA = StructType(
+    [
+        StructField("op", StringType(), True),
+        StructField("ts_ms", LongType(), True),
+        StructField("before", StringType(), True),
+        StructField("after", StringType(), True),
+        StructField("source", MapType(StringType(), StringType()), True),
     ]
 )
 
@@ -391,6 +415,55 @@ def parse_dms(raw: DataFrame, value_col: str = "value", keep_raw: bool = False) 
     if keep_raw:
         extra.append(F.col(value_col).alias("_raw"))
     return _project_event(parsed, op, seq, ts, env["data"], extra)
+
+
+#: seq packing for MongoDB change-stream positions: seq =
+#: oplog_seconds * 2^20 + ord. The BSON Timestamp that orders a Mongo
+#: oplog is (seconds, per-second counter); Debezium surfaces it as
+#: source.ts_ms (= seconds*1000, millis carry no extra information) and
+#: source.ord. 2^20 ops/sec headroom per replica set; epoch seconds use
+#: 31 bits, leaving 12 spare before sign trouble — same budget argument
+#: as CANAL_PACK_SHIFT/DMS_PACK_SHIFT.
+MONGO_PACK_SHIFT = 20
+
+
+def parse_mongo(raw: DataFrame, value_col: str = "value", keep_raw: bool = False) -> DataFrame:
+    """Debezium MongoDB connector envelope -> EVENT_SCHEMA rows.
+
+    The schemaless dialect: row images arrive as extended-JSON document
+    STRINGS (``after``/``before``), not structured records — a Mongo
+    collection has no fixed schema for the connector to emit — so the
+    parse is TWO JVM-side ``from_json`` passes: envelope, then document
+    string -> map<string,string>. Still zero Python, one scan.
+
+    Contract: the connector runs with full-document capture
+    (``capture.mode=change_streams_update_full_with_pre_image``), so
+    c/u/r rows carry the full post-image in ``after`` and deletes the
+    full pre-image in ``before``. An updateDescription-only update or a
+    pre-image-less delete has NO row image -> null repo -> DLQ
+    (replayable once the connector is reconfigured), never a silent
+    drop. ``seq`` packs the oplog position ``(source.ts_ms/1000) * 2^20
+    + source.ord`` (see ``MONGO_PACK_SHIFT``); ``ord`` defaults to 0
+    when absent (snapshot reads), a missing oplog timestamp is a
+    null-seq DLQ row.
+    """
+    parsed = raw.withColumn("_env", F.from_json(F.col(value_col), _MONGO_SCHEMA))
+    env = F.col("_env")
+    op = _op_expr(env["op"], _DEBEZIUM_OPS)
+    doc = F.when(env["op"] == "d", env["before"]).otherwise(env["after"])
+    img = F.from_json(doc, MapType(StringType(), StringType()))
+    sec = F.floor(
+        F.element_at(env["source"], "ts_ms").try_cast("long") / F.lit(1000)
+    ).cast("long")
+    ord_ = F.coalesce(
+        F.element_at(env["source"], "ord").try_cast("long"), F.lit(0)
+    )
+    seq = F.when(sec.isNotNull(), F.shiftleft(sec, MONGO_PACK_SHIFT) + ord_)
+    ts = F.timestamp_millis(env["ts_ms"])
+    extra = [F.element_at(env["source"], "collection").alias("src_table")]
+    if keep_raw:
+        extra.append(F.col(value_col).alias("_raw"))
+    return _project_event(parsed, op, seq, ts, img, extra)
 
 
 def dms_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:
@@ -798,6 +871,103 @@ def maxwell_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+def mongo_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:
+    """Write the deterministic Debezium-MongoDB fixture (parquet, one
+    ``value`` JSON string column) once and return its path. 50 records
+    over 21 (repo,path) keys: 20 ``r`` snapshot reads at oplog second
+    s0, two full-document update waves (the second must win LWW on the
+    packed oplog position), one key updated TWICE within the SAME oplog
+    second (only ``ord`` resolves the order), one ``c`` insert, two
+    pre-image deletes (tombstones drop), plus the three DLQ shapes the
+    dialect contract promises: a pre-image-less delete, an
+    updateDescription-only update (null ``after``), and a malformed
+    JSON line. pyarrow-written so oracle_sql() needs no SparkSession."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{base}/mongo_v1.parquet"
+    if os.path.exists(path):
+        return path
+
+    def doc(key, tag):
+        return json.dumps(
+            {
+                "_id": f"mrepo-{key % 4}::svc/m{key}.py",
+                "repo": f"mrepo-{key % 4}",
+                "path": f"svc/m{key}.py",
+                "commit": f"{tag}-{key}",
+                "lang": "python",
+                "content": f"def m{key}(): return '{tag}'\n" * (1 + key % 3),
+            },
+            sort_keys=True,
+        )
+
+    def rec(op, key, sec, ord_, tag="snap", after=True, before=False, src_extra=None):
+        source = {"rs": "rs0", "collection": "files", "ts_ms": sec * 1000, "ord": ord_}
+        if src_extra is not None:
+            source = src_extra
+        return json.dumps(
+            {
+                "op": op,
+                "ts_ms": sec * 1000,
+                "before": doc(key, tag) if before else None,
+                "after": doc(key, tag) if after else None,
+                "source": source,
+            },
+            sort_keys=True,
+        )
+
+    s0, s1, s2, s3, s4 = (
+        1709251200,  # 2024-03-01T00:00:00Z: snapshot reads
+        1709254800,  # +1h: update wave v1
+        1709258400,  # +2h: update wave v2 (wins)
+        1709262000,  # +3h: same-second double update + insert
+        1709265600,  # +4h: deletes + the DLQ shapes
+    )
+    values = []
+    for k in range(20):  # snapshot; keys 12-19 never updated -> survive at snap
+        values.append(rec("r", k, s0, k + 1, tag="snap"))
+    for i, k in enumerate(range(12)):
+        values.append(rec("u", k, s1, i + 1, tag="v1"))
+    for i, k in enumerate(range(12)):
+        values.append(rec("u", k, s2, i + 1, tag="v2"))
+    # same oplog second: ord 9 must beat ord 3
+    values.append(rec("u", 5, s3, 3, tag="v3a"))
+    values.append(rec("u", 5, s3, 9, tag="v3b"))
+    values.append(rec("c", 40, s3, 1, tag="new"))
+    # pre-image deletes: keys 1 and 6 drop
+    values.append(rec("d", 1, s4, 1, tag="v2", after=False, before=True))
+    values.append(rec("d", 6, s4, 2, tag="v2", after=False, before=True))
+    # DLQ shapes (contract): pre-image-less delete, updateDescription-only
+    # update, malformed JSON, missing oplog timestamp
+    values.append(rec("d", 2, s4, 3, after=False, before=False))
+    values.append(rec("u", 3, s4, 4, after=False, before=False))
+    values.append("mongo but broken {{{")
+    values.append(rec("u", 4, s4, 5, tag="vX", src_extra={"rs": "rs0", "collection": "files"}))
+
+    table = pa.table({"value": pa.array(values, pa.string())})
+    os.makedirs(base, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+#: the one wire-dialect registry: IngestStream, replay_dlq and tests all
+#: dispatch through this, so a new dialect registers exactly once.
+WIRE_PARSERS = {
+    "debezium": parse_debezium,
+    "maxwell": parse_maxwell,
+    "wal2json": parse_wal2json,
+    "canal": parse_canal,
+    "dms": parse_dms,
+    "mongo": parse_mongo,
+}
 
 
 def split_malformed(raw: DataFrame, parser=parse_debezium, value_col: str = "value"):

@@ -67,7 +67,7 @@ class IngestStream:
         dedup_watermark: str | None = None,  # e.g. "10 minutes"
         expire_every: int | None = None,  # run commit expiry every N commits
         expire_keep_last: int = 8,  # retained time-travel window
-        wire_format: str | None = None,  # None (typed parquet) | 'debezium' | 'maxwell' | 'wal2json' | 'canal' | 'dms'
+        wire_format: str | None = None,  # None (typed parquet) | any envelopes.WIRE_PARSERS key
         collect_metrics: bool = True,
         source: str = "files",  # 'files' (dir tail) | 'kafka' (topic; needs connector jar)
         kafka_bootstrap_servers: str | None = None,
@@ -93,8 +93,12 @@ class IngestStream:
         # full batch-id ledger (it rides the latest commit)
         self.expire_every = expire_every
         self.expire_keep_last = expire_keep_last
-        if wire_format not in (None, "debezium", "maxwell", "wal2json", "canal", "dms"):
-            raise ValueError(f"unknown wire_format {wire_format!r}")
+        from .envelopes import WIRE_PARSERS
+
+        if wire_format is not None and wire_format not in WIRE_PARSERS:
+            raise ValueError(
+                f"unknown wire_format {wire_format!r} (one of {sorted(WIRE_PARSERS)})"
+            )
         if wire_format and dedup_watermark:
             # the raw wire stream has no ts/seq until the per-batch
             # parse, so watermark dedup can't run pre-parse; duplicate
@@ -110,7 +114,7 @@ class IngestStream:
             if not wire_format:
                 raise ValueError(
                     "source='kafka' requires wire_format "
-                    "('debezium'|'maxwell'|'wal2json'|'canal')"
+                    f"(one of {sorted(WIRE_PARSERS)})"
                 )
             if max_files_per_trigger or max_bytes_per_trigger:
                 raise ValueError(
@@ -172,24 +176,11 @@ class IngestStream:
         if self.wire_format:
             # envelope batch: parse + DLQ-split inside the micro-batch
             # so malformed payloads are persisted next to the lake.
-            from .envelopes import (
-                parse_canal,
-                parse_dms,
-                parse_debezium,
-                parse_maxwell,
-                parse_wal2json,
-                split_malformed,
-            )
+            from .envelopes import WIRE_PARSERS, split_malformed
 
             from pyspark.sql import Observation, functions as F
 
-            parser = {
-                "debezium": parse_debezium,
-                "maxwell": parse_maxwell,
-                "wal2json": parse_wal2json,
-                "canal": parse_canal,
-                "dms": parse_dms,
-            }[self.wire_format]
+            parser = WIRE_PARSERS[self.wire_format]
             df, dlq = split_malformed(df, parser=parser)
             # DLQ lands BEFORE the lake commit, in a per-batch
             # directory with idempotent overwrite: a crash between
@@ -448,22 +439,9 @@ def replay_dlq(
 
     from pyspark.sql import functions as F
 
-    from .envelopes import (
-        parse_canal,
-        parse_debezium,
-        parse_dms,
-        parse_maxwell,
-        parse_wal2json,
-        split_malformed,
-    )
+    from .envelopes import WIRE_PARSERS, split_malformed
 
-    parser = {
-        "debezium": parse_debezium,
-        "maxwell": parse_maxwell,
-        "wal2json": parse_wal2json,
-        "canal": parse_canal,
-        "dms": parse_dms,
-    }[wire_format]
+    parser = WIRE_PARSERS[wire_format]
     spark = lake.spark
     root = dlq_root or f"{lake.root}/dlq"
     if not os.path.isdir(root):

@@ -92,3 +92,51 @@ def ngram_contamination(
             ).cast("double").alias("contamination"),
         )
     )
+
+
+def normalized_fingerprint(text_col: str = "text") -> Column:
+    """Whitespace-collapsed, lowercased, trimmed content -> one int64
+    fingerprint (xxhash64). The normalization must be restatable in
+    ANSI SQL so the oracle can recompute the exact-membership side."""
+    return F.xxhash64(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    fpp: float = 1e-3,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """Per-document Bloom membership verdict against a reference set
+    (eval benchmark / opt-out list / previously-shipped corpus):
+    ``(id_col, bloom_hit)``.
+
+    The bloom variant of decontamination matters when the reference is
+    too big to broadcast as strings or even as raw fingerprints: the
+    bit-packed bitmap is ~1.44·k/64 longs per member (~9x smaller than
+    64-bit fingerprints at fpp 1e-3), probes are broadcast-join +
+    map-side AND-reduce (one fixed-width (id, bool) row per document is
+    the only shuffle), and the no-false-negative guarantee means a miss
+    is definitive — only hits need the exact confirmation pass.
+
+    ``expected_items`` sizes the filter; defaults to one count() over
+    the reference (references are MB-to-GB scale; pass it explicitly in
+    a pipeline that already knows it).
+    """
+    from .bloom import bloom_build, bloom_params, bloom_probe
+
+    n = expected_items if expected_items is not None else reference.count()
+    m_bits, k = bloom_params(max(n, 1), fpp)
+    ref_fps = reference.select(
+        normalized_fingerprint(ref_text_col).alias("fp")
+    )
+    bloom = bloom_build(ref_fps, "fp", m_bits, k)
+    probe = docs.select(
+        F.col(id_col), normalized_fingerprint(text_col).alias("fp")
+    )
+    return bloom_probe(probe, bloom, "fp", id_col, m_bits, k)

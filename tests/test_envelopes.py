@@ -968,3 +968,105 @@ def test_streaming_dms_wire_ingest(spark, tmp_path):
     run()  # redelivery: complete no-op
     assert len(lake.committed_batch_ids()) == n
     assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
+
+
+def test_mongo_fixture_oplog_order_and_splits(spark):
+    """The Debezium-MongoDB fixture: exactly the 4 contract DLQ shapes
+    divert (pre-image-less delete, updateDescription-only update,
+    malformed JSON, missing oplog timestamp); document strings shred to
+    row images; the key updated twice within ONE oplog second resolves
+    on ord alone; pre-image deletes tombstone; never-updated snapshot
+    keys survive at snapshot content."""
+    from chunker_spark.cdc.envelopes import (
+        MONGO_PACK_SHIFT,
+        mongo_fixture_path,
+        parse_mongo,
+        split_malformed,
+    )
+
+    p1, p2 = mongo_fixture_path(), mongo_fixture_path()
+    assert p1 == p2
+    raw = spark.read.parquet(p1)
+    clean, dlq = split_malformed(raw, parser=parse_mongo)
+    assert dlq.count() == 4
+    assert clean.count() == 20 + 12 + 12 + 2 + 1 + 2
+    # src_table comes from source.collection (the routing column)
+    assert clean.select("src_table").distinct().collect()[0][0] == "files"
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
+    final = {
+        r.path: r
+        for r in clean.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .collect()
+    }
+    assert len(final) == 20 - 2 + 1  # keys 1 and 6 tombstoned, key 40 inserted
+    s0, s3 = 1709251200, 1709262000
+    # same-oplog-second double update: ord 9 beats ord 3
+    assert final["svc/m5.py"].commit == "v3b-5"
+    assert final["svc/m5.py"].seq == (s3 << MONGO_PACK_SHIFT) + 9
+    # the DLQ'd delete/update did NOT apply: keys 2 and 3 survive at v2
+    assert final["svc/m2.py"].commit == "v2-2"
+    assert final["svc/m3.py"].commit == "v2-3"
+    # never-updated snapshot keys survive at snapshot content and seq
+    for k in (12, 15, 19):
+        assert final[f"svc/m{k}.py"].commit == f"snap-{k}"
+        assert final[f"svc/m{k}.py"].seq == (s0 << MONGO_PACK_SHIFT) + k + 1
+    assert final["svc/m40.py"].commit == "new-40"
+    assert "svc/m1.py" not in final and "svc/m6.py" not in final
+
+
+def test_streaming_mongo_wire_ingest(spark, tmp_path):
+    """The Mongo wire path end-to-end through IngestStream: snapshot
+    reads then change-stream updates (incl. a same-second repeated key
+    resolved by ord and a pre-image delete) -> DLQ split -> exactly-once
+    MERGE; redelivery no-ops."""
+    import json as _json
+
+    from chunker_spark.cdc import LakeTable
+    from chunker_spark.cdc.streaming import IngestStream
+    from chunker_spark.kernel import ChunkerParams
+
+    def doc(path, content):
+        return _json.dumps({"_id": f"r::{path}", "repo": "r", "path": path,
+                            "commit": "c", "content": content})
+
+    def mongo(op, path, content, sec, ord_):
+        return _json.dumps({
+            "op": op, "ts_ms": sec * 1000,
+            "before": doc(path, content) if op == "d" else None,
+            "after": None if op == "d" else doc(path, content),
+            "source": {"rs": "rs0", "collection": "files",
+                       "ts_ms": sec * 1000, "ord": ord_},
+        })
+
+    log_dir = tmp_path / "mongo-log"
+    log_dir.mkdir()
+    (log_dir / "seg-0.jsonl").write_text("\n".join([
+        mongo("r", "a.py", "snap-a\n", 100, 1),
+        mongo("r", "b.py", "snap-b\n", 100, 2),
+        "mongo corrupt [[[",
+    ]) + "\n")
+    (log_dir / "seg-1.jsonl").write_text("\n".join([
+        # same oplog second: ord 4 must win
+        mongo("u", "a.py", "v1-early\n", 200, 1),
+        mongo("u", "a.py", "v1-final\n", 200, 4),
+        mongo("d", "b.py", "snap-b\n", 201, 1),
+    ]) + "\n")
+
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    params = ChunkerParams(average_bits=6, min_size=64, max_size=256)
+
+    def run():
+        IngestStream(spark, lake, str(log_dir), str(tmp_path / "ckpt"),
+                     params=params, wire_format="mongo").run_available()
+
+    run()
+    state = {r.path: r.content for r in lake.read().collect()}
+    assert state == {"a.py": "v1-final\n"}  # snapshot beaten, b.py tombstoned
+    assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
+    n = len(lake.committed_batch_ids())
+    run()  # redelivery: complete no-op
+    assert len(lake.committed_batch_ids()) == n
+    assert spark.read.parquet(f"{lake.root}/dlq").count() == 1

@@ -645,3 +645,85 @@ def test_retain_canonical_argmax_ties_and_single_exchange(spark):
         out.where("kept").groupBy("cluster").count().select("count").collect()
     )
     assert all(r["count"] == 1 for r in per_cluster)
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_params_sizing():
+    import math
+
+    from chunker_spark.ops.bloom import bloom_params
+
+    m, k = bloom_params(1000, 0.01)
+    assert m % 64 == 0
+    # classic sizing: ~9.59 bits/item at 1% fpp, k ~= 7
+    assert 9 * 1000 <= m <= 11 * 1000
+    assert k in (6, 7, 8)
+    with pytest.raises(ValueError):
+        bloom_params(0, 0.01)
+    with pytest.raises(ValueError):
+        bloom_params(10, 1.5)
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """Every inserted member probes positive (mathematical guarantee);
+    false positives over a 20x-larger non-member universe stay within
+    ~3x the sizing fpp (generous gate: xxhash64 lanes are not the
+    idealized independent hashes)."""
+    from chunker_spark.ops.bloom import bloom_build, bloom_params, bloom_probe
+
+    n_members, n_non = 500, 10_000
+    m, k = bloom_params(n_members, 0.01)
+    members = spark.range(n_members).select(F.xxhash64("id").alias("fp"))
+    bloom = bloom_build(members, "fp", m, k)
+    probe_members = spark.range(n_members).select(
+        F.col("id"), F.xxhash64("id").alias("fp")
+    )
+    hits = bloom_probe(probe_members, bloom, "fp", "id", m, k)
+    assert hits.where(~F.col("bloom_hit")).count() == 0  # no false negatives
+    non = spark.range(10_000_000, 10_000_000 + n_non).select(
+        F.col("id"), F.xxhash64("id").alias("fp")
+    )
+    fp_count = (
+        bloom_probe(non, bloom, "fp", "id", m, k).where("bloom_hit").count()
+    )
+    assert fp_count <= int(3 * 0.01 * n_non) + 5
+
+
+def test_bloom_probe_is_broadcast_join_no_shuffle_of_bitmap(spark):
+    """The probe plan broadcasts the bitmap relation: no SortMergeJoin,
+    no cartesian — the corpus side is never shuffled by the join (the
+    only Exchange is the final fixed-width per-id AND-reduce)."""
+    from chunker_spark.ops.bloom import bloom_build, bloom_params, bloom_probe
+
+    m, k = bloom_params(100, 0.01)
+    members = spark.range(100).select(F.xxhash64("id").alias("fp"))
+    bloom = bloom_build(members, "fp", m, k)
+    docs = spark.range(1000).select(F.col("id"), F.xxhash64("id").alias("fp"))
+    plan = (
+        bloom_probe(docs, bloom, "fp", "id", m, k)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_bloom_decontaminate_planted_duplicates(spark):
+    """bloom_decontaminate flags the reference docs AND any training doc
+    whose normalized content duplicates a reference doc (case/whitespace
+    variants included); clean docs stay unflagged at this tiny scale
+    (expected FPs ~ fpp * n << 1)."""
+    from chunker_spark.ops.decontaminate import bloom_decontaminate
+
+    rows = [(i, f"unique document body number {i} with words") for i in range(40)]
+    rows.append((100, "UNIQUE   document Body number 7 WITH words"))  # dup of 7
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = docs.where("doc_id < 10").select("text")
+    out = {r.doc_id: r.bloom_hit for r in bloom_decontaminate(docs, ref).collect()}
+    assert all(out[i] for i in range(10))
+    assert out[100] is True  # normalized duplicate of a reference doc
+    assert not any(out[i] for i in range(10, 40))
