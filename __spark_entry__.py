@@ -1705,6 +1705,81 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_goldengate_parse(spark, sf):
+    """Oracle GoldenGate wire-format ingestion across a trail-file
+    rotation: the 20-digit ``pos`` splits into (trail seqno, RBA) and
+    packs as seqno*2^32+rba — the fixture's second update wave lands in
+    the next trail file at RBAs far BELOW the first wave's, so it wins
+    last-writer-wins only via the seqno bits; one key updated twice
+    within one trail file resolves on RBA alone; ``T`` truncates drop
+    (no row image, like wal2json control lines) while the four DLQ
+    shapes (malformed JSON, after-less update, before-less delete,
+    non-20-digit pos) divert in the same scan. Final LWW state: 8
+    never-updated snapshot keys survive, 2 tombstones drop. The oracle
+    restates parse + pos-split packing + LWW with DuckDB JSON
+    functions."""
+    from chunker_spark.cdc.envelopes import (
+        goldengate_fixture_path,
+        parse_goldengate,
+        split_malformed,
+    )
+
+    raw = spark.read.parquet(goldengate_fixture_path())
+    clean, _dlq = split_malformed(raw, parser=parse_goldengate)
+    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
+    return (
+        clean.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("repo", "path", "commit", "seq", F.sha2("content", 256).alias("content_sha256"))
+    )
+
+
+def _sql_goldengate_parse() -> str:
+    from chunker_spark.cdc.envelopes import (
+        GOLDENGATE_PACK_SHIFT,
+        goldengate_fixture_path,
+    )
+
+    path = goldengate_fixture_path()  # ensure the fixture exists for DuckDB
+    shift = 1 << GOLDENGATE_PACK_SHIFT
+    return f"""
+WITH raw AS (SELECT value FROM read_parquet('{path}')),
+parsed AS (
+  SELECT CASE json_extract_string(value, '$.op_type')
+           WHEN 'I' THEN 'I' WHEN 'U' THEN 'U' WHEN 'D' THEN 'D' END AS op,
+         CASE WHEN length(json_extract_string(value, '$.pos')) = 20
+              THEN TRY_CAST(substr(json_extract_string(value, '$.pos'), 1, 10) AS BIGINT)
+                     * {shift}
+                   + TRY_CAST(substr(json_extract_string(value, '$.pos'), 11, 10) AS BIGINT)
+         END AS seq,
+         CASE WHEN json_extract_string(value, '$.op_type') = 'D'
+              THEN json_extract(value, '$.before')
+              ELSE json_extract(value, '$.after') END AS img
+  FROM raw
+  WHERE json_valid(value)
+    AND COALESCE(json_extract_string(value, '$.op_type'), '') <> 'T'
+),
+img AS (
+  SELECT op, seq,
+         json_extract_string(img, '$.repo') AS repo,
+         json_extract_string(img, '$.path') AS path,
+         json_extract_string(img, '$.commit') AS commit,
+         json_extract_string(img, '$.content') AS content
+  FROM parsed
+),
+clean AS (
+  SELECT * FROM img
+  WHERE op IS NOT NULL AND seq IS NOT NULL AND repo IS NOT NULL AND path IS NOT NULL
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM clean
+)
+SELECT repo, path, commit, seq, sha256(content) AS content_sha256
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_events_asof_click(spark, sf):
     """Backward as-of join: every purchase matched to the SAME user's
     latest click at-or-before the purchase instant (inner: purchases
@@ -3138,6 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canal_parse": q_canal_parse,
         "dms_parse": q_dms_parse,
         "mongo_parse": q_mongo_parse,
+        "goldengate_parse": q_goldengate_parse,
         "events_asof_click": q_events_asof_click,
         "events_asof_next": q_events_asof_next,
         "events_value_tiers": q_events_value_tiers,
@@ -3218,6 +3294,7 @@ def oracle_sql() -> dict[str, str]:
         "canal_parse": _sql_canal_parse(),
         "dms_parse": _sql_dms_parse(),
         "mongo_parse": _sql_mongo_parse(),
+        "goldengate_parse": _sql_goldengate_parse(),
         "events_asof_click": SQL_EVENTS_ASOF_CLICK,
         "events_asof_next": SQL_EVENTS_ASOF_NEXT,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,

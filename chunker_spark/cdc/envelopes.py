@@ -164,6 +164,25 @@ _CANAL_SCHEMA = StructType(
     ]
 )
 
+#: Oracle GoldenGate (Big Data Kafka handler, JSON "op" format) op
+#: types. 'T' (truncate) carries no row image and is DROPPED before
+#: projection, like wal2json's B/C/T control lines. Primary-key updates
+#: surface as 'U' with the complete new image in ``after``.
+_GOLDENGATE_OPS = {"I": "I", "U": "U", "D": "D"}
+
+_GOLDENGATE_SCHEMA = StructType(
+    [
+        StructField("table", StringType(), True),
+        StructField("op_type", StringType(), True),
+        StructField("op_ts", StringType(), True),
+        StructField("current_ts", StringType(), True),
+        StructField("pos", StringType(), True),
+        StructField("primary_keys", ArrayType(StringType()), True),
+        StructField("before", MapType(StringType(), StringType()), True),
+        StructField("after", MapType(StringType(), StringType()), True),
+    ]
+)
+
 
 def _op_expr(col, mapping: dict[str, str]):
     expr = F.lit(None).cast("string")
@@ -461,6 +480,62 @@ def parse_mongo(raw: DataFrame, value_col: str = "value", keep_raw: bool = False
     seq = F.when(sec.isNotNull(), F.shiftleft(sec, MONGO_PACK_SHIFT) + ord_)
     ts = F.timestamp_millis(env["ts_ms"])
     extra = [F.element_at(env["source"], "collection").alias("src_table")]
+    if keep_raw:
+        extra.append(F.col(value_col).alias("_raw"))
+    return _project_event(parsed, op, seq, ts, img, extra)
+
+
+#: seq packing for GoldenGate trail positions: seq = trail_seqno * 2^32
+#: + rba. The JSON "op" format's ``pos`` is a fixed-width 20-digit
+#: decimal string — the first 10 digits are the trail file sequence
+#: number, the last 10 the RBA (byte offset within that trail file).
+#: The RBA resets on every trail rotation, so the raw 20-digit value
+#: only orders because the seqno occupies the high digits — but 20
+#: decimal digits overflow int64, so the packed form splits the string
+#: and recombines in binary. RBA < 2^32 (trail files cap at 2 GB),
+#: leaving 31 bits ≈ 2.1G trail rotations — same budget argument as
+#: CANAL_PACK_SHIFT/DMS_PACK_SHIFT.
+GOLDENGATE_PACK_SHIFT = 32
+
+
+def parse_goldengate(raw: DataFrame, value_col: str = "value", keep_raw: bool = False) -> DataFrame:
+    """Oracle GoldenGate (Big Data Kafka handler, JSON op format) ->
+    EVENT_SCHEMA rows.
+
+    Envelope shape (one JSON object per operation):
+        {"table": "PDB.SCHEMA.TABLE", "op_type": "I|U|D|T",
+         "op_ts": "2024-03-01 00:00:00.000000" (source commit ts),
+         "current_ts": "..." (handler processing ts, ignored),
+         "pos": "00000000080000001234" (trail seqno + RBA, 20 digits),
+         "primary_keys": ["repo", "path"],
+         "before": {...} | absent, "after": {...} | absent}
+
+    Ordering contract: ``pos`` must be the exact 20-digit trail
+    coordinate — the packed seq splits it into (seqno, rba) and
+    recombines as ``seqno * 2^32 + rba`` (see GOLDENGATE_PACK_SHIFT) so
+    ordering survives trail-file rotation without overflowing int64. A
+    ``pos`` of any other width is an unorderable event -> null seq ->
+    DLQ (never a silent mis-sort). Deletes carry their row image in
+    ``before`` (the handler's default includes the full before image
+    for deletes); I/U carry ``after``. ``op_type`` 'T' (truncate) has
+    no row image and is dropped, not dead-lettered.
+    """
+    parsed = raw.withColumn("_env", F.from_json(F.col(value_col), _GOLDENGATE_SCHEMA))
+    env = F.col("_env")
+    parsed = parsed.where(
+        ~F.coalesce(env["op_type"] == F.lit("T"), F.lit(False))
+    )
+    op = _op_expr(env["op_type"], _GOLDENGATE_OPS)
+    img = F.when(env["op_type"] == "D", env["before"]).otherwise(env["after"])
+    pos = env["pos"]
+    seqno = F.substring(pos, 1, 10).try_cast("long")
+    rba = F.substring(pos, 11, 10).try_cast("long")
+    seq = F.when(
+        (F.length(pos) == 20) & seqno.isNotNull() & rba.isNotNull(),
+        F.shiftleft(seqno, GOLDENGATE_PACK_SHIFT) + rba,
+    )
+    ts = F.try_to_timestamp(env["op_ts"])
+    extra = [env["table"].alias("src_table")]
     if keep_raw:
         extra.append(F.col(value_col).alias("_raw"))
     return _project_event(parsed, op, seq, ts, img, extra)
@@ -958,6 +1033,91 @@ def mongo_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:
     return path
 
 
+def goldengate_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:
+    """Write the deterministic GoldenGate-envelope fixture (parquet, one
+    ``value`` JSON string column) once and return its path. 60 records
+    over 23 (repo,path) keys exercising trail-file rotation: 22 ``I``
+    snapshot rows in trail seqno 8 (keys 14-21 never see CDC and must
+    survive at snapshot content), update wave v1 late in trail 8
+    (RBA ~500k), update wave v2 early in trail 9 at SMALLER RBAs — the
+    raw offset goes backwards across the rotation, so v2 wins only via
+    the seqno bits of the packed position — one key updated TWICE
+    within trail 9 (RBA alone resolves), one fresh insert, two
+    before-image deletes (tombstones), one ``T`` truncate (dropped, not
+    DLQ'd), plus the four DLQ shapes: malformed JSON, an after-less
+    update, a delete with no before image, and a non-20-digit ``pos``.
+    pyarrow-written so oracle_sql() needs no SparkSession."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{base}/goldengate_v1.parquet"
+    if os.path.exists(path):
+        return path
+
+    def row(key, tag):
+        return {
+            "repo": f"gg-repo-{key % 4}",
+            "path": f"svc/g{key}.py",
+            "commit": f"{tag}-{key}",
+            "lang": "python",
+            "content": f"def g{key}(): return '{tag}'\n" * (1 + key % 3),
+        }
+
+    def rec(op, key, seqno, rba, tag="snap", ts="2024-03-01 00:00:00.000000",
+            pos=None, before=None, after=None):
+        body = {
+            "table": "ORCL.SRC.FILES",
+            "op_type": op,
+            "op_ts": ts,
+            "current_ts": ts.replace(" ", "T"),
+            "pos": pos if pos is not None else f"{seqno:010d}{rba:010d}",
+            "primary_keys": ["repo", "path"],
+        }
+        if before is not None:
+            body["before"] = before
+        if after is not None:
+            body["after"] = after
+        return json.dumps(body, sort_keys=True)
+
+    values = []
+    for k in range(22):  # trail 8 snapshot inserts; keys 14-21 never
+        # touched by CDC — must survive at snapshot content
+        values.append(rec("I", k, 8, 1000 + k * 16, after=row(k, "snap")))
+    for i, k in enumerate(range(14)):  # update wave v1, late in trail 8
+        values.append(rec("U", k, 8, 500000 + i * 16,
+                          ts="2024-03-01 01:00:00.000000", after=row(k, "v1")))
+    for i, k in enumerate(range(14)):  # trail ROTATION: v2 lands in
+        # trail 9 at RBAs far below v1's — wins only on the seqno bits
+        values.append(rec("U", k, 9, 100 + i * 16,
+                          ts="2024-03-01 02:00:00.000000", after=row(k, "v2")))
+    # same trail file, same key twice: RBA 7016 must beat 7000
+    values.append(rec("U", 5, 9, 7000, ts="2024-03-01 03:00:00.000000", after=row(5, "v3a")))
+    values.append(rec("U", 5, 9, 7016, ts="2024-03-01 03:00:00.000000", after=row(5, "v3b")))
+    values.append(rec("I", 40, 9, 8000, ts="2024-03-01 03:30:00.000000", after=row(40, "new")))
+    # before-image deletes: keys 2 and 9 tombstone
+    values.append(rec("D", 2, 9, 9000, ts="2024-03-01 04:00:00.000000", before=row(2, "v2")))
+    values.append(rec("D", 9, 9, 9016, ts="2024-03-01 04:00:00.000000", before=row(9, "v2")))
+    # truncate: no row image, dropped (not DLQ'd)
+    values.append(rec("T", 0, 9, 9500, ts="2024-03-01 04:30:00.000000"))
+    # DLQ shapes: malformed JSON, after-less update, before-less delete,
+    # non-20-digit pos (unorderable)
+    values.append("goldengate but broken {{{")
+    values.append(rec("U", 3, 9, 9600, ts="2024-03-01 05:00:00.000000"))
+    values.append(rec("D", 4, 9, 9616, ts="2024-03-01 05:00:00.000000"))
+    values.append(rec("U", 6, 9, 0, pos="123",
+                      ts="2024-03-01 05:00:00.000000", after=row(6, "vX")))
+
+    table = pa.table({"value": pa.array(values, pa.string())})
+    os.makedirs(base, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 #: the one wire-dialect registry: IngestStream, replay_dlq and tests all
 #: dispatch through this, so a new dialect registers exactly once.
 WIRE_PARSERS = {
@@ -967,6 +1127,7 @@ WIRE_PARSERS = {
     "canal": parse_canal,
     "dms": parse_dms,
     "mongo": parse_mongo,
+    "goldengate": parse_goldengate,
 }
 
 

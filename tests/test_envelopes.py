@@ -1070,3 +1070,109 @@ def test_streaming_mongo_wire_ingest(spark, tmp_path):
     run()  # redelivery: complete no-op
     assert len(lake.committed_batch_ids()) == n
     assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
+
+
+def test_goldengate_fixture_rotation_and_splits(spark):
+    """The GoldenGate fixture: exactly the 4 contract DLQ shapes divert
+    (malformed JSON, after-less update, before-less delete, non-20-digit
+    pos); the truncate record drops without dead-lettering; the second
+    update wave — next trail file, RBAs far below the first wave's —
+    wins LWW only via the seqno bits of the packed position; a key
+    updated twice within one trail file resolves on RBA alone;
+    before-image deletes tombstone; never-updated snapshot keys survive
+    at snapshot content."""
+    from chunker_spark.cdc.envelopes import (
+        GOLDENGATE_PACK_SHIFT,
+        goldengate_fixture_path,
+        parse_goldengate,
+        split_malformed,
+    )
+
+    p1, p2 = goldengate_fixture_path(), goldengate_fixture_path()
+    assert p1 == p2
+    raw = spark.read.parquet(p1)
+    clean, dlq = split_malformed(raw, parser=parse_goldengate)
+    assert dlq.count() == 4
+    assert clean.count() == 22 + 14 + 14 + 2 + 1 + 2
+    # src_table carries the full three-part GoldenGate table name
+    assert clean.select("src_table").distinct().collect()[0][0] == "ORCL.SRC.FILES"
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
+    final = {
+        r.path: r
+        for r in clean.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .collect()
+    }
+    assert len(final) == 22 - 2 + 1  # keys 2 and 9 tombstoned, key 40 inserted
+    # rotation: v2 (trail 9, rba 100+) beat v1 (trail 8, rba 500000+)
+    assert final["svc/g0.py"].commit == "v2-0"
+    assert final["svc/g0.py"].seq == (9 << GOLDENGATE_PACK_SHIFT) + 100
+    # within-trail double update: rba 7016 beats 7000
+    assert final["svc/g5.py"].commit == "v3b-5"
+    assert final["svc/g5.py"].seq == (9 << GOLDENGATE_PACK_SHIFT) + 7016
+    # the DLQ'd update/delete did NOT apply: keys 3, 4 and 6 survive at v2
+    for k in (3, 4, 6):
+        assert final[f"svc/g{k}.py"].commit == f"v2-{k}"
+    # never-updated snapshot keys survive at snapshot content and seq
+    for k in (14, 17, 21):
+        assert final[f"svc/g{k}.py"].commit == f"snap-{k}"
+        assert final[f"svc/g{k}.py"].seq == (8 << GOLDENGATE_PACK_SHIFT) + 1000 + k * 16
+    assert final["svc/g40.py"].commit == "new-40"
+    assert "svc/g2.py" not in final and "svc/g9.py" not in final
+
+
+def test_streaming_goldengate_wire_ingest(spark, tmp_path):
+    """The GoldenGate wire path end-to-end through IngestStream: trail-8
+    snapshot then a trail rotation whose updates carry SMALLER RBAs (the
+    packed seq must still prefer them) plus a before-image delete -> DLQ
+    split -> exactly-once MERGE; redelivery no-ops."""
+    import json as _json
+
+    from chunker_spark.cdc import LakeTable
+    from chunker_spark.cdc.streaming import IngestStream
+    from chunker_spark.kernel import ChunkerParams
+
+    def gg(op, path, content, seqno, rba):
+        img = {"repo": "r", "path": path, "commit": "c", "content": content}
+        body = {
+            "table": "ORCL.SRC.FILES", "op_type": op,
+            "op_ts": "2024-03-01 00:00:00.000000",
+            "pos": f"{seqno:010d}{rba:010d}",
+            "primary_keys": ["repo", "path"],
+        }
+        if op == "D":
+            body["before"] = img
+        else:
+            body["after"] = img
+        return _json.dumps(body)
+
+    log_dir = tmp_path / "gg-log"
+    log_dir.mkdir()
+    (log_dir / "seg-0.jsonl").write_text("\n".join([
+        gg("I", "a.py", "snap-a\n", 8, 900000),
+        gg("I", "b.py", "snap-b\n", 8, 900016),
+        "gg corrupt [[[",
+    ]) + "\n")
+    (log_dir / "seg-1.jsonl").write_text("\n".join([
+        # rotation: trail 9 at a LOWER rba must beat trail 8's snapshot
+        gg("U", "a.py", "v1-final\n", 9, 64),
+        gg("D", "b.py", "snap-b\n", 9, 128),
+    ]) + "\n")
+
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    params = ChunkerParams(average_bits=6, min_size=64, max_size=256)
+
+    def run():
+        IngestStream(spark, lake, str(log_dir), str(tmp_path / "ckpt"),
+                     params=params, wire_format="goldengate").run_available()
+
+    run()
+    state = {r.path: r.content for r in lake.read().collect()}
+    assert state == {"a.py": "v1-final\n"}  # rotation respected, b.py tombstoned
+    assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
+    n = len(lake.committed_batch_ids())
+    run()  # redelivery: complete no-op
+    assert len(lake.committed_batch_ids()) == n
+    assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
