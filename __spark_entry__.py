@@ -1780,6 +1780,77 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_txn_gate_release(spark, sf):
+    """Transaction-atomic release across a micro-batch cut: the fixture
+    slices a wal2json stream (include-xids) mid-transaction — txn 701's
+    first update lands in batch 0 but its commit line in batch 1 — and
+    the TxnGate must hold that update back (never expose a torn
+    transaction) and release it, original seq intact, once batch 1
+    delivers the C line; a fully-committed txn releases in its own
+    batch and an xid-less event passes straight through. Runs the real
+    two-batch gate (versioned pending snapshots and all); the oracle
+    restates the completeness rule relationally: an event's release
+    batch IS its commit line's batch, because logical decoding orders
+    every change line before its transaction's commit line."""
+    import shutil
+
+    from chunker_spark.cdc.envelopes import (
+        parse_wal2json,
+        wal2json_commits,
+        wal2json_txn_fixture_path,
+    )
+    from chunker_spark.cdc.txn import TxnGate
+
+    raw = spark.read.parquet(wal2json_txn_fixture_path())
+    state = "/tmp/chunker_spark_fixtures/txn_gate_query_state"
+    shutil.rmtree(state, ignore_errors=True)
+    gate = TxnGate(spark, state)
+    out = None
+    for b, cond in ((0, F.col("line_no") < 6), (1, F.col("line_no") >= 6)):
+        part = raw.where(cond)
+        released = gate.gate(
+            parse_wal2json(part, with_txn=True), wal2json_commits(part), b
+        ).withColumn("release_batch", F.lit(b))
+        out = released if out is None else out.unionByName(released)
+    return out.select("repo", "path", "commit", "seq", "txn_id", "release_batch")
+
+
+def _sql_txn_gate_release() -> str:
+    from chunker_spark.cdc.envelopes import wal2json_txn_fixture_path
+
+    path = wal2json_txn_fixture_path()  # ensure the fixture exists for DuckDB
+    field = (
+        "(SELECT j->>'value' FROM unnest(CAST(json_extract(value, '$.columns') AS JSON[])) AS u(j) "
+        "WHERE j->>'name' = '{name}')"
+    )
+    return f"""
+WITH raw AS (SELECT line_no, value FROM read_parquet('{path}')),
+parsed AS (
+  SELECT line_no,
+         json_extract_string(value, '$.action') AS action,
+         TRY_CAST(json_extract_string(value, '$.xid') AS BIGINT) AS txn_id,
+         TRY_CAST(('0x' || string_split(json_extract_string(value, '$.lsn'), '/')[1]) AS BIGINT)
+             * 4294967296
+           + TRY_CAST(('0x' || string_split(json_extract_string(value, '$.lsn'), '/')[2]) AS BIGINT) AS seq,
+         {field.format(name='repo')} AS repo,
+         {field.format(name='path')} AS path,
+         {field.format(name='commit')} AS commit
+  FROM raw WHERE json_valid(value)
+),
+events AS (SELECT * FROM parsed WHERE action IN ('I', 'U', 'D')),
+commits AS (
+  SELECT txn_id, CASE WHEN line_no < 6 THEN 0 ELSE 1 END AS commit_batch
+  FROM parsed WHERE action = 'C' AND txn_id IS NOT NULL
+)
+SELECT e.repo, e.path, e.commit, e.seq, e.txn_id,
+       CASE WHEN e.txn_id IS NULL
+            THEN CASE WHEN e.line_no < 6 THEN 0 ELSE 1 END
+            ELSE c.commit_batch END AS release_batch
+FROM events e LEFT JOIN commits c USING (txn_id)
+WHERE e.txn_id IS NULL OR c.commit_batch IS NOT NULL
+"""
+
+
 def q_events_asof_click(spark, sf):
     """Backward as-of join: every purchase matched to the SAME user's
     latest click at-or-before the purchase instant (inner: purchases
@@ -3214,6 +3285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dms_parse": q_dms_parse,
         "mongo_parse": q_mongo_parse,
         "goldengate_parse": q_goldengate_parse,
+        "txn_gate_release": q_txn_gate_release,
         "events_asof_click": q_events_asof_click,
         "events_asof_next": q_events_asof_next,
         "events_value_tiers": q_events_value_tiers,
@@ -3295,6 +3367,7 @@ def oracle_sql() -> dict[str, str]:
         "dms_parse": _sql_dms_parse(),
         "mongo_parse": _sql_mongo_parse(),
         "goldengate_parse": _sql_goldengate_parse(),
+        "txn_gate_release": _sql_txn_gate_release(),
         "events_asof_click": SQL_EVENTS_ASOF_CLICK,
         "events_asof_next": SQL_EVENTS_ASOF_NEXT,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,

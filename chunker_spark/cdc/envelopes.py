@@ -117,6 +117,7 @@ _NAME_VALUE = ArrayType(
 _WAL2JSON_SCHEMA = StructType(
     [
         StructField("action", StringType(), True),
+        StructField("xid", LongType(), True),  # include-xids=true
         StructField("lsn", StringType(), True),
         StructField("timestamp", StringType(), True),
         StructField("schema", StringType(), True),
@@ -298,7 +299,12 @@ def parse_maxwell(raw: DataFrame, value_col: str = "value", keep_raw: bool = Fal
     return _project_event(parsed, op, seq, ts, img, extra)
 
 
-def parse_wal2json(raw: DataFrame, value_col: str = "value", keep_raw: bool = False) -> DataFrame:
+def parse_wal2json(
+    raw: DataFrame,
+    value_col: str = "value",
+    keep_raw: bool = False,
+    with_txn: bool = False,
+) -> DataFrame:
     """wal2json (Postgres, format-version 2) JSON lines -> EVENT_SCHEMA.
 
     ``seq`` is the 64-bit LSN reassembled from the textual ``hi/lo``
@@ -312,6 +318,11 @@ def parse_wal2json(raw: DataFrame, value_col: str = "value", keep_raw: bool = Fa
     logical messages carry no row: they are DROPPED here (a normal
     stream is full of them), while undecodable JSON or a missing
     lsn/key still surfaces as a null-op/seq row for the DLQ split.
+
+    ``with_txn=True`` appends the producer transaction id as
+    ``txn_id`` (wal2json ``include-xids=true``; null when the producer
+    does not emit xids) — the column the transaction-atomic gate
+    (``cdc.txn.TxnGate``) keys on.
     """
     parsed = raw.withColumn("_env", F.from_json(F.col(value_col), _WAL2JSON_SCHEMA))
     env = F.col("_env")
@@ -333,9 +344,31 @@ def parse_wal2json(raw: DataFrame, value_col: str = "value", keep_raw: bool = Fa
     )
     ts = env["timestamp"].try_cast("timestamp")
     extra = [env["table"].alias("src_table")]
+    if with_txn:
+        extra.append(env["xid"].alias("txn_id"))
     if keep_raw:
         extra.append(F.col(value_col).alias("_raw"))
     return _project_event(parsed, op, seq, ts, img, extra)
+
+
+def wal2json_commits(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """The C(ommit) lines of a wal2json batch -> distinct ``txn_id``
+    rows (one column, long). Logical decoding emits a transaction's
+    change lines strictly BEFORE its commit line, so within any log
+    prefix the set of committed xids exactly identifies which already-
+    seen changes belong to complete transactions — the completeness
+    test ``cdc.txn.TxnGate`` applies at every micro-batch boundary.
+    Commit lines without an xid (producer without include-xids) yield
+    nothing: the gate then treats every event as unframed pass-through.
+    """
+    parsed = raw.withColumn("_env", F.from_json(F.col(value_col), _WAL2JSON_SCHEMA))
+    env = F.col("_env")
+    return (
+        parsed.where(env["action"] == "C")
+        .where(env["xid"].isNotNull())
+        .select(env["xid"].alias("txn_id"))
+        .distinct()
+    )
 
 
 #: seq packing for Canal FlatMessages: seq = batch_id * 2^20 + row_pos.
@@ -1026,6 +1059,80 @@ def mongo_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:
     values.append(rec("u", 4, s4, 5, tag="vX", src_extra={"rs": "rs0", "collection": "files"}))
 
     table = pa.table({"value": pa.array(values, pa.string())})
+    os.makedirs(base, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def wal2json_txn_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:
+    """Write the deterministic wal2json transaction-framing fixture
+    (parquet, columns ``line_no`` + ``value``) once and return its
+    path. 12 lines, include-xids on: txn 700 (B, 2 inserts, C) fully
+    inside the first 6 lines; txn 701's B + first update land before
+    the line-6 cut but its second update and C line after it — the
+    shape a micro-batch boundary cuts; one xid-less change (a mixed
+    producer; must pass through ungated); txn 702 (B, insert, C)
+    entirely after the cut. Backs ``txn_gate_release`` and the TxnGate
+    tests: at the cut, txn 701's first update must NOT be visible.
+    pyarrow-written so oracle_sql() needs no SparkSession."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{base}/wal2json_txn_v1.parquet"
+    if os.path.exists(path):
+        return path
+
+    def cols(key, tag):
+        row = {
+            "repo": f"tx-repo-{key % 2}",
+            "path": f"pg/t{key}.sql",
+            "commit": f"{tag}-{key}",
+            "lang": "sql",
+            "content": f"select {key}; -- {tag}\n" * (1 + key % 2),
+        }
+        return [{"name": k, "type": "text", "value": v} for k, v in row.items()]
+
+    lo = 0x1000
+
+    def line(action, xid, key=None, tag=None):
+        nonlocal lo
+        lo += 0x10
+        body = {"action": action, "lsn": f"5/{lo:X}",
+                "timestamp": "2023-11-14 16:00:00.000000+00:00"}
+        if xid is not None:
+            body["xid"] = xid
+        if action in ("I", "U", "D"):
+            body["schema"] = "public"
+            body["table"] = "files"
+            body["columns"] = cols(key, tag)
+        return json.dumps(body, sort_keys=True)
+
+    values = [
+        line("B", 700),            # 0
+        line("I", 700, 0, "t700"),  # 1
+        line("I", 700, 1, "t700"),  # 2
+        line("C", 700),            # 3
+        line("B", 701),            # 4
+        line("U", 701, 0, "t701"),  # 5
+        # ---- the micro-batch cut: line_no < 6 is batch 0 ----
+        line("U", 701, 1, "t701"),  # 6
+        line("C", 701),            # 7
+        line("I", None, 3, "solo"),  # 8: xid-less producer, pass-through
+        line("B", 702),            # 9
+        line("I", 702, 2, "t702"),  # 10
+        line("C", 702),            # 11
+    ]
+    table = pa.table(
+        {
+            "line_no": pa.array(range(len(values)), pa.int64()),
+            "value": pa.array(values, pa.string()),
+        }
+    )
     os.makedirs(base, exist_ok=True)
     tmp = f"{path}.tmp-{os.getpid()}"
     pq.write_table(table, tmp)

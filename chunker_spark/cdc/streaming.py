@@ -73,6 +73,7 @@ class IngestStream:
         kafka_bootstrap_servers: str | None = None,
         kafka_topic: str | None = None,
         kafka_options: dict | None = None,  # kafka_reader_options kwargs passthrough
+        txn_atomic: bool = False,  # never apply a torn source transaction (wal2json)
     ) -> None:
         self.spark = spark
         self.lake = lake
@@ -150,6 +151,25 @@ class IngestStream:
         self.ingest_run_id = hashlib.sha1(
             os.path.abspath(checkpoint_dir).encode()
         ).hexdigest()[:12]
+        # transaction-atomic release: only wal2json carries in-band
+        # commit framing (B…C lines) plus per-line xids, the two things
+        # the completeness test needs; other dialects either have no
+        # in-stream transaction markers or already arrive txn-complete
+        # (Canal batches, DMS record-counts ordering within one record).
+        if txn_atomic and wire_format != "wal2json":
+            raise ValueError(
+                "txn_atomic requires wire_format='wal2json' "
+                "(the dialect with in-band commit framing + xids)"
+            )
+        self.txn_atomic = txn_atomic
+        self._txn_gate = None
+        if txn_atomic:
+            from .txn import TxnGate
+
+            self._txn_gate = TxnGate(
+                spark,
+                f"{lake.root}/txn_pending/ingest_run={self.ingest_run_id}",
+            )
         self.batches_seen = 0
         #: per-batch wall seconds, appended by _handle_batch — the soak
         #: observability surface (latency-over-time without a metrics
@@ -181,6 +201,11 @@ class IngestStream:
             from pyspark.sql import Observation, functions as F
 
             parser = WIRE_PARSERS[self.wire_format]
+            raw = df
+            if self.txn_atomic:
+                import functools
+
+                parser = functools.partial(parser, with_txn=True)
             df, dlq = split_malformed(df, parser=parser)
             # DLQ lands BEFORE the lake commit, in a per-batch
             # directory with idempotent overwrite: a crash between
@@ -207,6 +232,16 @@ class IngestStream:
                 import shutil
 
                 shutil.rmtree(dlq_dir, ignore_errors=True)
+            if self.txn_atomic:
+                # atomic release: hold back events of transactions whose
+                # commit line this log prefix has not reached; released
+                # carry-overs keep their original seq, so LWW resolution
+                # is unchanged no matter which batch applies them
+                from .envelopes import wal2json_commits
+
+                df = self._txn_gate.gate(
+                    df, wal2json_commits(raw), batch_id
+                ).drop("txn_id")
         commit = apply_batch(
             self.lake, df, batch_id, params=self.params,
             collect_metrics=self.collect_metrics,

@@ -1176,3 +1176,115 @@ def test_streaming_goldengate_wire_ingest(spark, tmp_path):
     run()  # redelivery: complete no-op
     assert len(lake.committed_batch_ids()) == n
     assert spark.read.parquet(f"{lake.root}/dlq").count() == 1
+
+
+def test_txn_gate_holds_torn_transaction_and_releases_on_commit(spark, tmp_path):
+    """TxnGate over the txn fixture cut into three micro-batches: a
+    transaction cut mid-way releases NOTHING until the batch that
+    carries its commit line (then releases with original seqs), a
+    fully-contained txn releases in its own batch, an xid-less event
+    passes straight through — and redelivering a batch reproduces the
+    identical release set from the versioned pending snapshots."""
+    from chunker_spark.cdc.envelopes import (
+        parse_wal2json,
+        wal2json_commits,
+        wal2json_txn_fixture_path,
+    )
+    from chunker_spark.cdc.txn import TxnGate
+
+    raw = spark.read.parquet(wal2json_txn_fixture_path())
+    gate = TxnGate(spark, str(tmp_path / "txn-state"))
+    cuts = [(0, 6), (6, 9), (9, 12)]
+
+    def run(b):
+        lo, hi = cuts[b]
+        part = raw.where((F.col("line_no") >= lo) & (F.col("line_no") < hi))
+        rel = gate.gate(parse_wal2json(part, with_txn=True), wal2json_commits(part), b)
+        return sorted((r.commit, r.txn_id) for r in rel.collect())
+
+    # batch 0: txn 700 complete -> its 2 inserts; txn 701 torn -> held
+    assert run(0) == [("t700-0", 700), ("t700-1", 700)]
+    # batch 1: 701's carried-over first update + its second + the
+    # xid-less pass-through
+    r1 = run(1)
+    assert r1 == [("solo-3", None), ("t701-0", 701), ("t701-1", 701)]
+    # pending after batch 1 is empty
+    assert gate.pending(batch_id=2).count() == 0
+    # redelivery of batch 1 (crash between snapshot and lake commit):
+    # identical release set, recomputed from snapshot v=0
+    assert run(1) == r1
+    # batch 2: txn 702 releases alone
+    assert run(2) == [("t702-2", 702)]
+
+
+def test_streaming_txn_atomic_ingest(spark, tmp_path):
+    """txn_atomic end-to-end through IngestStream: a segment ending
+    mid-transaction must NOT expose the torn update in the lake; the
+    next segment's commit line releases it (original seq, LWW intact);
+    an ungated run of the same log reaches the same final state."""
+    import json as _json
+
+    from chunker_spark.cdc import LakeTable
+    from chunker_spark.cdc.streaming import IngestStream
+    from chunker_spark.kernel import ChunkerParams
+
+    lo = [0]
+
+    def line(action, xid, path=None, content=None):
+        lo[0] += 16
+        body = {"action": action, "xid": xid, "lsn": f"7/{lo[0]:X}",
+                "timestamp": "2023-11-14 16:00:00.000000+00:00"}
+        if action in ("I", "U"):
+            body["schema"] = "public"
+            body["table"] = "files"
+            body["columns"] = [
+                {"name": "repo", "type": "text", "value": "r"},
+                {"name": "path", "type": "text", "value": path},
+                {"name": "commit", "type": "text", "value": "c"},
+                {"name": "content", "type": "text", "value": content},
+            ]
+        return _json.dumps(body)
+
+    log_dir = tmp_path / "txn-log"
+    log_dir.mkdir()
+    seg0 = "\n".join([
+        line("B", 20),
+        line("I", 20, "a.py", "base-a\n"),
+        line("I", 20, "b.py", "base-b\n"),
+        line("C", 20),
+        line("B", 21),
+        line("U", 21, "a.py", "torn-a\n"),
+        # segment ends MID-transaction 21
+    ]) + "\n"
+    seg1 = "\n".join([
+        line("U", 21, "b.py", "torn-b\n"),
+        line("C", 21),
+    ]) + "\n"
+    (log_dir / "seg-0.jsonl").write_text(seg0)
+
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    params = ChunkerParams(average_bits=6, min_size=64, max_size=256)
+    stream = IngestStream(spark, lake, str(log_dir), str(tmp_path / "ckpt"),
+                          params=params, wire_format="wal2json", txn_atomic=True)
+    stream.run_available()
+    # the torn update is NOT visible: both files still at base content
+    state = {r.path: r.content for r in lake.read().collect()}
+    assert state == {"a.py": "base-a\n", "b.py": "base-b\n"}
+
+    (log_dir / "seg-1.jsonl").write_text(seg1)
+    stream.run_available()
+    state = {r.path: r.content for r in lake.read().collect()}
+    assert state == {"a.py": "torn-a\n", "b.py": "torn-b\n"}
+
+    # an UNGATED run over the full log converges to the same state
+    lake2 = LakeTable(spark, str(tmp_path / "lake2"), num_buckets=2)
+    IngestStream(spark, lake2, str(log_dir), str(tmp_path / "ckpt2"),
+                 params=params, wire_format="wal2json").run_available()
+    state2 = {r.path: r.content for r in lake2.read().collect()}
+    assert state2 == state
+
+    # txn_atomic demands the framing dialect
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="txn_atomic"):
+        IngestStream(spark, lake, str(log_dir), str(tmp_path / "ckpt3"),
+                     params=params, wire_format="debezium", txn_atomic=True)
