@@ -1851,6 +1851,67 @@ WHERE e.txn_id IS NULL OR c.commit_batch IS NOT NULL
 """
 
 
+def q_orders_reconcile(spark, sf):
+    """Source↔sink reconciliation (the nightly CDC audit): diff the
+    orders table against a deterministically perturbed copy — keys
+    divisible by 97 dropped (only_left), by 101 repriced (+1.0,
+    mismatch), by 103 duplicated under a shifted key (only_right) — via
+    the keyed-digest full-outer diff: each side reduces MAP-SIDE to
+    (key, sha2(to_json(compared columns))) so row payloads never enter
+    the one fixed-width join. The oracle restates the diff as a direct
+    column-comparison FULL OUTER JOIN — a different mismatch test
+    (tuple comparison vs digest equality) that must agree exactly."""
+    from chunker_spark.ops.audit import table_diff
+
+    o = _t(spark, sf, "orders")
+    key = F.col("o_orderkey")
+    right = (
+        o.where(key % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 101 == 0, F.col("o_totalprice") + F.lit(1.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            o.where(key % 103 == 0).withColumn(
+                "o_orderkey", key + F.lit(1_000_000_000)
+            )
+        )
+    )
+    return table_diff(
+        o,
+        right,
+        key_cols=["o_orderkey"],
+        compare_cols=["o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+
+
+SQL_ORDERS_RECONCILE = """
+WITH r AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 103 = 0
+)
+SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+       CASE WHEN l.o_orderkey IS NULL THEN 'only_right'
+            WHEN r.o_orderkey IS NULL THEN 'only_left'
+            WHEN l.o_custkey <> r.o_custkey
+              OR l.o_orderstatus <> r.o_orderstatus
+              OR l.o_totalprice <> r.o_totalprice THEN 'mismatch' END AS diff_kind
+FROM orders l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+WHERE CASE WHEN l.o_orderkey IS NULL THEN 'only_right'
+           WHEN r.o_orderkey IS NULL THEN 'only_left'
+           WHEN l.o_custkey <> r.o_custkey
+             OR l.o_orderstatus <> r.o_orderstatus
+             OR l.o_totalprice <> r.o_totalprice THEN 'mismatch' END IS NOT NULL
+"""
+
+
 def q_events_asof_click(spark, sf):
     """Backward as-of join: every purchase matched to the SAME user's
     latest click at-or-before the purchase instant (inner: purchases
@@ -3286,6 +3347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mongo_parse": q_mongo_parse,
         "goldengate_parse": q_goldengate_parse,
         "txn_gate_release": q_txn_gate_release,
+        "orders_reconcile": q_orders_reconcile,
         "events_asof_click": q_events_asof_click,
         "events_asof_next": q_events_asof_next,
         "events_value_tiers": q_events_value_tiers,
@@ -3368,6 +3430,7 @@ def oracle_sql() -> dict[str, str]:
         "mongo_parse": _sql_mongo_parse(),
         "goldengate_parse": _sql_goldengate_parse(),
         "txn_gate_release": _sql_txn_gate_release(),
+        "orders_reconcile": SQL_ORDERS_RECONCILE,
         "events_asof_click": SQL_EVENTS_ASOF_CLICK,
         "events_asof_next": SQL_EVENTS_ASOF_NEXT,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,

@@ -886,3 +886,33 @@ def test_containment_pairs_brute_force(spark):
     }
     assert got == truth
     assert got[(100, 101)] == 1.0  # verbatim embedding found at 1.0
+
+
+def test_table_diff_classes_and_null_canonicalization(spark):
+    """table_diff: the three defect classes; a null column and the
+    string 'null' digest differently (to_json canonicalization); equal
+    rows are absent; duplicate keys fail loudly with check_unique."""
+    from chunker_spark.ops.audit import reconcile_summary, table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, "null", 30.0), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "null", 20.0), (3, "null", 30.0), (5, "e", 50.0)],
+        "k int, s string, v double",
+    )
+    diff = {
+        r.k: r.diff_kind
+        for r in table_diff(left, right, ["k"], ["s", "v"]).collect()
+    }
+    # k=2: null vs the literal string 'null' MUST mismatch
+    assert diff == {2: "mismatch", 4: "only_left", 5: "only_right"}
+    s = reconcile_summary(left, right, ["k"], ["s", "v"]).collect()[0]
+    assert (s.equal, s.mismatch, s.only_left, s.only_right) == (2, 1, 1, 1)
+
+    dup = spark.createDataFrame([(1, "a", 1.0), (1, "b", 2.0)], "k int, s string, v double")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        table_diff(dup, right, ["k"], ["s", "v"], check_unique=True)
+    with pytest.raises(ValueError, match="compare_cols"):
+        table_diff(left, right, ["k"], ["k", "v"])

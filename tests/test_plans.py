@@ -564,3 +564,16 @@ def test_hll_union_rollup_two_level_aggregate(spark):
     plan = _plan(e.q_user_distinct_rollup(spark, SF), "simple")
     assert "pythonUDF" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+
+
+def test_table_diff_join_is_content_free(spark):
+    """table_diff over the documents table: payloads reduce map-side to
+    (key, digest) — the full-outer join must not reference the text
+    column."""
+    from chunker_spark.ops.audit import table_diff
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = table_diff(docs, docs.where(F.col("doc_id") % 7 != 0), ["doc_id"], ["text"])
+    plan = _plan(d)
+    join_lines = [l for l in plan.splitlines() if "FullOuter" in l]
+    assert join_lines and all("text" not in l for l in join_lines)
