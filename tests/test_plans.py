@@ -577,3 +577,68 @@ def test_table_diff_join_is_content_free(spark):
     plan = _plan(d)
     join_lines = [l for l in plan.splitlines() if "FullOuter" in l]
     assert join_lines and all("text" not in l for l in join_lines)
+
+
+def test_repetition_and_pii_are_map_only(spark):
+    """doc_repetition / doc_pii: zero Exchange (map-only over the scan),
+    zero Python workers, and the parquet scan reads only (doc_id, text)
+    — the quality/scrub passes stream at 100 TB."""
+    import __spark_entry__ as e
+
+    for q in (e.q_doc_repetition, e.q_doc_pii):
+        plan = _plan(q(spark, SF))
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "doc_id" in read_schema and "text" in read_schema
+        assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_scd2_shuffles_exclude_payload(spark):
+    """events_scd2: exactly two Exchanges (the user_id version window,
+    then the tiny per-type aggregate) and neither carries the props
+    payload column; the scan prunes props entirely."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_events_scd2(spark, SF), "simple")
+    assert plan.count("Exchange") == 2, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "props" not in line, line
+    full = _plan(e.q_events_scd2(spark, SF))
+    read_schema = [l for l in full.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_wire_dialect_parsers_python_free(spark):
+    """Every wire-dialect parser (Mongo extended-JSON, GoldenGate trail,
+    wal2json, DMS, Canal) plans as JVM projections/filters over one
+    fixture scan — no row-at-a-time or Arrow Python anywhere."""
+    import __spark_entry__ as e
+
+    for q in (
+        e.q_mongo_parse,
+        e.q_goldengate_parse,
+        e.q_wal2json_parse,
+        e.q_dms_parse,
+        e.q_canal_parse,
+    ):
+        plan = _plan(q(spark, SF), "simple")
+        assert "EvalPython" not in plan, (q.__name__, plan)
+
+
+def test_bloom_probe_is_broadcast_no_text_shuffle(spark):
+    """bloom_decontaminate: the corpus-side probe joins the (word_idx,
+    bits) array by BROADCAST — the corpus never shuffles, and no
+    Exchange carries the raw text column."""
+    from pyspark.sql import functions as F
+
+    from chunker_spark.ops.decontaminate import bloom_decontaminate
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    verdict = bloom_decontaminate(d, d.where(F.col("doc_id") % 7 == 0).select("text"), fpp=1e-3)
+    plan = _plan(verdict, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            assert "text" not in line, line
