@@ -4,9 +4,17 @@ Env:
   SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[] cores (default 32)
 
-Prints ONE JSON line:
-  {"metric": "total_query_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1, "rows": {name: n, ...}}
+Prints the full record (cold pass, rows, protocol) first, then ONE
+COMPACT final JSON line:
+  {"metric":"total_query_sec","value":N,"unit":"sec",
+   "queries":{name:sec,...},"sf":0.1}
+The final line is deliberately minimal: the driver that records
+BENCH_r{N}.json keeps only the last ~2000 characters of output and
+parses the JSON it finds there (rounds 2-3 shipped a single verbose
+line that outgrew that window -> "parsed": null). Two-decimal values
++ compact separators keep 81 queries at ~1960 chars; the verbose
+record (3-decimal timings, cold pass, row counts) is the line above
+it and is also written to BENCH/last_run.json.
 """
 
 from __future__ import annotations
@@ -33,6 +41,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # no stage-progress \r spam on stderr: the driver's output
+        # capture is a tail window shared with stdout, and the final
+        # compact JSON line must survive in it intact
+        .config("spark.ui.showConsoleProgress", "false")
         # sized like a production executor, not the whole host: sf0.1
         # fits in ~2g, and oversized lazy heaps are actively harmful on
         # this sandbox — the hypervisor faults fresh multi-GB mappings
@@ -87,24 +99,36 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "protocol": "steady-state: pass 2 of 2 identical passes; "
-                "pass-1 (cold: planning+codegen+JIT) in cold_sec",
-                "cold_sec": cold,
-                "cold_total_sec": cold_total,
-                "sf": sf,
-                "cpus": cpus,
-                "rows": row_counts,
-            }
-        )
-    )
-    spark.stop()
+    verbose = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "protocol": "steady-state: pass 2 of 2 identical passes; "
+        "pass-1 (cold: planning+codegen+JIT) in cold_sec",
+        "cold_sec": cold,
+        "cold_total_sec": cold_total,
+        "sf": sf,
+        "cpus": cpus,
+        "rows": row_counts,
+    }
+    print(json.dumps(verbose))
+    try:  # full record also on disk (the stdout tail window is small)
+        outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(outdir, exist_ok=True)
+        with open(os.path.join(outdir, "last_run.json"), "w") as fh:
+            json.dump(verbose, fh)
+    except OSError:
+        pass
+    spark.stop()  # before the final line: stop-time logs must not trail it
+    compact = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+    }
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":
