@@ -86,8 +86,10 @@ def confluent_split(df: DataFrame, value_col: str = "value") -> DataFrame:
 
     Pure JVM exprs: magic-byte check via a 1-byte substring compare,
     schema id via hex->base-10 ``conv`` on bytes 2-5 (big-endian, as
-    the spec writes it), payload as the remaining bytes.  A frame that
-    is shorter than the 5-byte header or has the wrong magic gets
+    the spec writes it), payload as the remaining bytes.  A frame with
+    no payload bytes after the 5-byte header (the pinned all-nullable
+    reader schema needs >= 5 union-index bytes, so an empty payload can
+    never decode) or with the wrong magic gets
     ``frame_ok=false`` and null id/payload — the caller routes those
     rows to the DLQ with their bytes intact instead of throwing mid-
     batch (same contract as the JSON parsers' ``_corrupt`` rows).
