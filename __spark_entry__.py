@@ -3207,6 +3207,71 @@ GROUP BY user_id, sid
 """
 
 
+def q_events_resample(spark, sf):
+    """Regular-grid resampling (`ops/resample.py`): per-user 6-hour
+    grid clamped inside each user's observed span, every grid instant
+    carrying LOCF and linearly-interpolated `value`. Observations are
+    first deduplicated to one per (user, instant) — latest event_id
+    wins (max_by, one partial-combining aggregate) — because bracket
+    selection among equal instants is otherwise tie-ambiguous. Grid
+    instants are exact step multiples, so independently-resampled
+    series equi-join. DuckDB pins the whole construction with its
+    native ASOF JOIN run in both directions + the identical lerp
+    expression tree (bit-equal IEEE doubles, no rounding). Plan: one
+    bounds aggregate, map-side sequence/explode, ONE union-window hash
+    exchange on user_id (the ops/asof.py shape — never a range join)."""
+    from chunker_spark.ops.resample import resample
+
+    step_us = 21_600_000_000  # 6 hours
+    e = _t(spark, sf, "events")
+    obs = (
+        e.groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+        .select(
+            "user_id",
+            # events.ts is TIMESTAMP_NTZ; session tz is UTC, so the cast is identity
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+        )
+    )
+    return resample(obs, ["user_id"], "ts_us", "value", step_us)
+
+
+SQL_EVENTS_RESAMPLE = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, arg_max(value, event_id) AS value
+  FROM events GROUP BY user_id, ts
+),
+b AS (SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx FROM o GROUP BY user_id),
+g AS (
+  SELECT user_id,
+         unnest(range(
+           CAST(floor((mn + 21600000000 - 1) / 21600000000.0) AS BIGINT) * 21600000000,
+           CAST(floor(mx / 21600000000.0) AS BIGINT) * 21600000000 + 1,
+           21600000000)) AS grid_us
+  FROM b
+  WHERE CAST(floor((mn + 21600000000 - 1) / 21600000000.0) AS BIGINT)
+        <= CAST(floor(mx / 21600000000.0) AS BIGINT)
+),
+lb AS (
+  SELECT g.user_id, g.grid_us, o.ts_us AS b_us, o.value AS b_v
+  FROM g ASOF JOIN o ON g.user_id = o.user_id AND g.grid_us >= o.ts_us
+),
+fb AS (
+  SELECT g.user_id, g.grid_us, o.ts_us AS f_us, o.value AS f_v
+  FROM g ASOF JOIN o ON g.user_id = o.user_id AND g.grid_us <= o.ts_us
+)
+SELECT lb.user_id, lb.grid_us,
+       lb.b_v AS value_locf,
+       CASE WHEN fb.f_us = lb.b_us THEN lb.b_v
+            ELSE lb.b_v + (fb.f_v - lb.b_v)
+                 * (CAST(lb.grid_us - lb.b_us AS DOUBLE)
+                    / CAST(fb.f_us - lb.b_us AS DOUBLE))
+       END AS value_lerp
+FROM lb JOIN fb ON lb.user_id = fb.user_id AND lb.grid_us = fb.grid_us
+"""
+
+
 def q_semdedup(spark, sf):
     """SemDeDup (`ops/semdedup.py`, Abbas et al. arXiv:2303.09540):
     k-means cluster the embeddings (same deterministic 8-lowest-id
@@ -3378,6 +3443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_variant": q_events_props_variant,
         "user_distinct_rollup": q_user_distinct_rollup,
         "events_session_window": q_events_session_window,
+        "events_resample": q_events_resample,
         "events_range_frame": q_events_range_frame,
         "doc_lm_score": q_doc_lm_score,
         "doc_containment": q_doc_containment,
@@ -3464,6 +3530,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_variant": SQL_EVENTS_PROPS_VARIANT,
         "user_distinct_rollup": SQL_USER_DISTINCT_ROLLUP,
         "events_session_window": SQL_EVENTS_SESSION_WINDOW,
+        "events_resample": SQL_EVENTS_RESAMPLE,
         "events_range_frame": SQL_EVENTS_RANGE_FRAME,
         "doc_lm_score": SQL_DOC_LM_SCORE,
         "doc_containment": SQL_DOC_CONTAINMENT,

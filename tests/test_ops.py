@@ -916,3 +916,58 @@ def test_table_diff_classes_and_null_canonicalization(spark):
         table_diff(dup, right, ["k"], ["s", "v"], check_unique=True)
     with pytest.raises(ValueError, match="compare_cols"):
         table_diff(left, right, ["k"], ["k", "v"])
+
+
+def test_resample_locf_and_lerp_edges(spark):
+    """Hand-computable grid: observations at t=0,100,250 (step 100) ->
+    grid {0,100,200}; exact-on-grid instants return the observation in
+    both modes, interior instants LOCF backward and lerp between the
+    brackets; a single-observation key and a no-multiple-in-span key
+    contribute no rows; the max_points guard trips loudly."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from chunker_spark.ops.resample import resample
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, 10.0), ("a", 100, 20.0), ("a", 250, 50.0),
+            ("b", 77, 1.0),            # single observation: no grid point... (77..77 has no multiple)
+            ("c", 101, 3.0), ("c", 199, 5.0),  # span contains no multiple of 100
+        ],
+        "k string, ts_us long, v double",
+    )
+    out = {
+        (r.k, r.grid_us): (r.value_locf, r.value_lerp)
+        for r in resample(df, ["k"], "ts_us", "v", 100).collect()
+    }
+    assert set(out) == {("a", 0), ("a", 100), ("a", 200)}
+    assert out[("a", 0)] == (10.0, 10.0)       # exact on grid
+    assert out[("a", 100)] == (20.0, 20.0)     # exact on grid
+    locf, lerp = out[("a", 200)]
+    assert locf == 20.0                         # carried from t=100
+    assert lerp == 20.0 + (50.0 - 20.0) * (100.0 / 150.0)  # identical expr tree
+
+    # a key spanning > max_points grid instants fails with the message,
+    # not an opaque sequence() error
+    wide = spark.createDataFrame([("w", 0, 1.0), ("w", 10_000, 2.0)], "k string, ts_us long, v double")
+    with pytest.raises((PySparkException, Py4JJavaError), match="max_points"):
+        resample(wide, ["k"], "ts_us", "v", 1, max_points=100).collect()
+
+
+def test_resample_single_exchange_no_python(spark):
+    """events_resample plans as: bounds aggregate + map-side explode +
+    ONE union-window hash exchange on the key (plus the observation
+    dedup aggregate) — no range join, no nested loop, no Python."""
+    import __spark_entry__ as e
+
+    plan_simple = e.q_events_resample(spark, "/root/testdata/sf0.001")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "CartesianProduct" not in plan_simple
+    assert "BroadcastNestedLoopJoin" not in plan_simple
+    assert "EvalPython" not in plan_simple
+    # exchanges: obs dedup agg (user_id, ts), bounds agg (user_id),
+    # union window (user_id) — and nothing else
+    assert plan_simple.count("Exchange") <= 4, plan_simple
