@@ -3207,6 +3207,85 @@ GROUP BY user_id, sid
 """
 
 
+def q_doc_substring_dedup(spark, sf):
+    """Exact duplicated-substring removal (`ops/substrings.py`, Lee et
+    al. arXiv:2107.06499 reformulated relationally — the suffix-array
+    original does not distribute): every >= 8-token run occurring more
+    than once in the corpus is struck from every document. The corpus
+    carries deterministic planted duplication — a fixed 12-token
+    boilerplate sentence appended to every doc_id % 4 == 0 document —
+    so the strike verifiably fires; natural corpus repeats are caught
+    identically by both engines. Full value oracle: the spliced
+    clean_text itself hash-compares, not just counts. Plan: map-side
+    window digests (text never shuffles — fixed-width (md5, doc, pos)
+    rows), one partial-combining digest count, one doc-keyed island
+    window, JVM splice."""
+    from chunker_spark.ops.substrings import strike_duplicated_substrings
+
+    d = _t(spark, sf, "documents")
+    boiler = (
+        " this content is provided as is without warranty of any kind either express or implied"
+    )
+    injected = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(boiler)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return strike_duplicated_substrings(injected, k=8)
+
+
+SQL_DOC_SUBSTRING_DEDUP = r"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || ' this content is provided as is without warranty of any kind either express or implied'
+              ELSE text END AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM inj
+),
+win AS (
+  SELECT doc_id, r.i AS pos,
+         md5(array_to_string(ws[r.i + 1 : r.i + 8], ' ')) AS h
+  FROM tok, UNNEST(range(0, greatest(len(ws) - 7, 0))) AS r(i)
+),
+duph AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+dpos AS (SELECT w.doc_id, w.pos FROM win w JOIN duph USING (h)),
+isl0 AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+              THEN 1 ELSE 0 END AS brk
+  FROM dpos
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl0
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+  FROM isl GROUP BY doc_id, island
+),
+sp AS (SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS spans FROM spans GROUP BY doc_id),
+spliced AS (
+  SELECT t.doc_id, t.ws, coalesce(sp.spans, []) AS spans,
+         list_filter(list_transform(t.ws, (w, i) -> {'w': w, 'i': i - 1}),
+                     x -> len(list_filter(coalesce(sp.spans, []),
+                                          y -> x.i >= y.s AND x.i < y.e)) = 0) AS kept
+  FROM tok t LEFT JOIN sp USING (doc_id)
+)
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(kept, x -> x.w), ' '), '') AS clean_text,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+       CAST(len(spans) AS BIGINT) AS n_spans
+FROM spliced
+"""
+
+
 def q_events_resample(spark, sf):
     """Regular-grid resampling (`ops/resample.py`): per-user 6-hour
     grid clamped inside each user's observed span, every grid instant
@@ -3444,6 +3523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_distinct_rollup": q_user_distinct_rollup,
         "events_session_window": q_events_session_window,
         "events_resample": q_events_resample,
+        "doc_substring_dedup": q_doc_substring_dedup,
         "events_range_frame": q_events_range_frame,
         "doc_lm_score": q_doc_lm_score,
         "doc_containment": q_doc_containment,
@@ -3531,6 +3611,7 @@ def oracle_sql() -> dict[str, str]:
         "user_distinct_rollup": SQL_USER_DISTINCT_ROLLUP,
         "events_session_window": SQL_EVENTS_SESSION_WINDOW,
         "events_resample": SQL_EVENTS_RESAMPLE,
+        "doc_substring_dedup": SQL_DOC_SUBSTRING_DEDUP,
         "events_range_frame": SQL_EVENTS_RANGE_FRAME,
         "doc_lm_score": SQL_DOC_LM_SCORE,
         "doc_containment": SQL_DOC_CONTAINMENT,

@@ -971,3 +971,46 @@ def test_resample_single_exchange_no_python(spark):
     # exchanges: obs dedup agg (user_id, ts), bounds agg (user_id),
     # union window (user_id) — and nothing else
     assert plan_simple.count("Exchange") <= 4, plan_simple
+
+
+def test_strike_duplicated_substrings_planted(spark):
+    """The planted cross-doc boilerplate and an intra-doc repeat are
+    struck; clean docs and sub-k docs pass through; counts audit."""
+    from chunker_spark.ops.substrings import strike_duplicated_substrings
+
+    boiler = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + boiler + " delta epsilon"),
+            (2, "zeta eta " + boiler + " theta"),
+            (3, "unique words only here nothing repeated at all in this document"),
+            (4, "short doc"),
+            (5, " ".join(["self"] * 12)),  # intra-doc repetition
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in strike_duplicated_substrings(docs, k=8).collect()}
+    assert out[1].clean_text == "alpha beta gamma delta epsilon"
+    assert out[2].clean_text == "zeta eta theta"
+    assert (out[1].n_removed, out[1].n_spans) == (10, 1)
+    assert out[3].n_removed == 0 and out[3].clean_text.startswith("unique words")
+    assert out[4].n_removed == 0  # < k tokens: no windows, untouched
+    assert out[5].clean_text == "" and out[5].n_removed == 12  # fully struck
+    # adjacent duplicated windows merged into ONE maximal span
+    assert out[5].n_spans == 1
+
+
+def test_substring_digest_shuffle_is_text_free(spark):
+    """doc_substring_dedup: the window-digest count and island window
+    shuffle fixed-width rows only — no Exchange carries the text
+    column, and no Python anywhere."""
+    import __spark_entry__ as e
+
+    df = e.q_doc_substring_dedup(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "EvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
