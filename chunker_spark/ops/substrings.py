@@ -39,6 +39,15 @@ row per token of corpus — the same order as the corpus token count,
 partial-aggregated map-side; no stage is quadratic and no stage holds
 more than one document's tokens in memory at once. The suffix-array
 original needs corpus-resident memory; this needs a shuffle.
+
+Composition caveat: ``clean_text`` is a nested higher-order-function
+expression (transform/filter/exists). Stacking SEVERAL such rewrite
+stages lazily into one projection (e.g. boilerplate splice -> this ->
+n-gram shingling) can push Spark's interpreted evaluator past its
+nested-lambda depth (observed as ``INTERNAL_ERROR Cannot evaluate
+expression`` on Spark 4.1). Persist a stage boundary between major
+rewrite stages — a lake write in production, ``localCheckpoint()`` in
+process — exactly as examples/curation_pipeline.py does.
 """
 
 from __future__ import annotations

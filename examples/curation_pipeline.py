@@ -83,6 +83,29 @@ def main() -> None:
     )
     out["after_boilerplate"] = clean.count()
 
+    # 2c. exact duplicated-substring removal (Lee et al. 2107.06499):
+    # strike every >= 8-token run occurring more than once across the
+    # corpus — catches repeated passages INSIDE otherwise-distinct
+    # documents that line- and doc-level dedup both miss. Fixed-width
+    # (digest, doc, pos) rows shuffle; the text never does.
+    from chunker_spark.ops.substrings import strike_duplicated_substrings
+
+    # stage boundary: three splice stages stacked lazily (boilerplate →
+    # substrings → n-gram decontamination) push Spark's interpreted
+    # evaluator past its nested-lambda depth (INTERNAL_ERROR observed);
+    # a production pipeline persists between major rewrite stages
+    # anyway — localCheckpoint is the in-process equivalent.
+    struck = strike_duplicated_substrings(clean, k=8).localCheckpoint(eager=True)
+    clean = (
+        struck.where(F.col("clean_text") != "")
+        .join(clean.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.col("clean_text").alias("text"))
+    )
+    out["substring_tokens_removed"] = (
+        struck.agg(F.sum("n_removed")).collect()[0][0] or 0
+    )
+    out["after_substring_strike"] = clean.count()
+
     # 3. decontamination vs a (here: planted) eval set — broadcast grams
     evalset = docs.where(F.col("doc_id") < 5).select("text")
     contam = ngram_contamination(clean, evalset, n=8)
