@@ -1014,3 +1014,43 @@ def test_substring_digest_shuffle_is_text_free(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_resample_matches_numpy_interp_randomized(spark):
+    """Independent-reference check on random data: value_lerp must
+    equal numpy.interp and value_locf must equal pandas merge_asof on
+    the same (seeded) observations, per key, at every grid instant."""
+    import numpy as np
+    import pandas as pd
+
+    from chunker_spark.ops.resample import resample
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for k in range(6):
+        n = int(rng.integers(2, 40))
+        ts = np.sort(rng.choice(np.arange(0, 5000), size=n, replace=False))
+        vs = rng.normal(size=n) * 10
+        rows += [(f"k{k}", int(t), float(v)) for t, v in zip(ts, vs)]
+    df = spark.createDataFrame(rows, "k string, ts_us long, v double")
+    step = 37
+    got = resample(df, ["k"], "ts_us", "v", step).collect()
+    pdf = pd.DataFrame(rows, columns=["k", "ts_us", "v"])
+    by_key = {k: g.sort_values("ts_us") for k, g in pdf.groupby("k")}
+    assert got, "no grid rows produced"
+    n_checked = 0
+    for r in got:
+        g = by_key[r.k]
+        t, x, y = r.grid_us, g["ts_us"].to_numpy(), g["v"].to_numpy()
+        assert t % step == 0 and x[0] <= t <= x[-1]
+        lerp_ref = float(np.interp(t, x, y))
+        locf_ref = float(y[np.searchsorted(x, t, side="right") - 1])
+        assert abs(r.value_lerp - lerp_ref) < 1e-9, (r, lerp_ref)
+        assert r.value_locf == locf_ref, (r, locf_ref)
+        n_checked += 1
+    # every key's expected grid size is covered (no silently missing rows)
+    expected = sum(
+        max(0, (g["ts_us"].max() // step) - ((g["ts_us"].min() + step - 1) // step) + 1)
+        for g in by_key.values()
+    )
+    assert n_checked == expected
