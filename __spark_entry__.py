@@ -3207,6 +3207,57 @@ GROUP BY user_id, sid
 """
 
 
+def q_doc_bpe_stats(spark, sf):
+    """Distributed BPE tokenizer training (`ops/bpe.py`, Sennrich et
+    al. 1508.07909): 8 merges learned from a deterministic corpus
+    subset (doc_id % 31 == 0) by iterative explode/groupBy pair
+    counting over the word-TYPE frame (pytest pins the learned merge
+    sequence equal to an in-memory reference trainer, and encode
+    round-trips); the merge table then encodes EVERY document via the
+    Arrow-batched rank-greedy UDF. Oracle pattern: iterative training
+    is not SQL-expressible, so — like the HLL/CMS/GK sketch queries —
+    DuckDB pins the exact relational columns (per-source doc and
+    whitespace-word counts on identical tokenization) plus TRUE gates
+    for the encoder's published invariants, which Spark must earn with
+    real values: every document's BPE token count is >= its word count
+    (no token crosses words) and <= its non-space character count
+    (every token is >= 1 char), with equality-at-the-bottom impossible
+    once any merge applies (compression strictly positive on the
+    subset the merges were mined from is NOT asserted — merges are
+    frequency-mined, not guaranteed per-source)."""
+    from chunker_spark.ops.bpe import encode_counts, train_bpe
+
+    d = _t(spark, sf, "documents")
+    merges = train_bpe(d.where(F.col("doc_id") % 31 == 0), num_merges=8)
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    enc = encode_counts(d, merges).select(
+        "source",
+        F.size(words).cast("long").alias("n_words"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"\s+", "")).alias("n_chars"),
+        "bpe_tokens",
+    )
+    return enc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.bool_and(F.col("bpe_tokens") >= F.col("n_words")).alias("bpe_ge_words"),
+        F.bool_and(F.col("bpe_tokens") <= F.col("n_chars")).alias("bpe_le_chars"),
+    )
+
+
+SQL_DOC_BPE_STATS = r"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> ''))) AS BIGINT) AS n_words,
+       TRUE AS bpe_ge_words,
+       TRUE AS bpe_le_chars
+FROM documents
+GROUP BY source
+"""
+
+
 def q_doc_substring_dedup(spark, sf):
     """Exact duplicated-substring removal (`ops/substrings.py`, Lee et
     al. arXiv:2107.06499 reformulated relationally — the suffix-array
@@ -3524,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": q_events_session_window,
         "events_resample": q_events_resample,
         "doc_substring_dedup": q_doc_substring_dedup,
+        "doc_bpe_stats": q_doc_bpe_stats,
         "events_range_frame": q_events_range_frame,
         "doc_lm_score": q_doc_lm_score,
         "doc_containment": q_doc_containment,
@@ -3612,6 +3664,7 @@ def oracle_sql() -> dict[str, str]:
         "events_session_window": SQL_EVENTS_SESSION_WINDOW,
         "events_resample": SQL_EVENTS_RESAMPLE,
         "doc_substring_dedup": SQL_DOC_SUBSTRING_DEDUP,
+        "doc_bpe_stats": SQL_DOC_BPE_STATS,
         "events_range_frame": SQL_EVENTS_RANGE_FRAME,
         "doc_lm_score": SQL_DOC_LM_SCORE,
         "doc_containment": SQL_DOC_CONTAINMENT,

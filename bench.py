@@ -125,10 +125,17 @@ def main() -> None:
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        # 1-decimal: 84+ queries at 2 decimals can exceed the ~2000-char
+        # tail window; full 3-decimal timings are in the verbose line
+        # above and BENCH/last_run.json
+        "queries": {k: round(v, 1) for k, v in timings.items()},
         "sf": sf,
     }
-    print(json.dumps(compact, separators=(",", ":")), flush=True)
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt and braces: never outgrow the window
+        compact["queries"] = {k: int(round(v)) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

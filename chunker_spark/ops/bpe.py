@@ -1,0 +1,187 @@
+"""Distributed BPE tokenizer training (byte-pair-encoding merge learning).
+
+Tokenizer training is a corpus-scale pipeline step (SentencePiece / HF
+tokenizers train it single-machine over an in-memory word-type table;
+at 100 TB the word-type table itself outgrows memory). The classic
+algorithm (Sennrich et al., arXiv:1508.07909) reduces exactly to
+relational operations:
+
+1. ONE corpus pass builds the word-frequency frame ``(word, count)`` —
+   a partial-combining aggregate; the corpus text never shuffles again.
+2. Each word is a symbol array (initially characters). Per iteration:
+   adjacent-pair counting is ``explode(pairs) -> groupBy(pair) ->
+   sum(count)`` over the word-TYPE frame (weighted by count, so the
+   cost per iteration is O(word types), not O(corpus)); the argmax
+   pair — deterministic tie-break: count desc, then pair lexicographic
+   asc — becomes the next merge; applying it is a pure-JVM
+   ``aggregate`` fold over each symbol array (leftmost-first,
+   re-scanning after each merge, the reference semantics).
+3. The frame is re-materialized (``localCheckpoint``) every iteration:
+   algorithmically so iteration k+1 does not replay the whole merge
+   chain of 1..k, and practically because stacking dozens of
+   higher-order-function rewrites into one lazy projection overflows
+   Spark's interpreted lambda evaluation (see ops/substrings.py).
+
+``encode_counts`` applies a learned merge table with the standard
+rank-greedy per-word algorithm inside an Arrow-batched pandas UDF
+(per-word memoization across the batch — the HF fast path), because
+merge application is sequential per word and iterating ``num_merges``
+JVM rewrites per query would stack exactly the lambda depth step 3
+avoids.
+
+Simplifications vs production tokenizers (documented, not hidden): no
+end-of-word marker (merges cannot cross words here by construction,
+and tokens are reconstructable by concatenation — the round-trip
+invariant tests rely on that), whitespace pre-tokenization, no byte
+fallback.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _chars(word_col) -> F.Column:
+    """word -> array of single characters (JVM, no regex edge cases)."""
+    w = F.col(word_col) if isinstance(word_col, str) else word_col
+    return F.transform(
+        F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, 1)
+    )
+
+
+def _apply_merge(syms, a: str, b: str) -> F.Column:
+    """Leftmost-first merge of adjacent (a, b) inside a symbol array —
+    a JVM aggregate fold; after a merge, scanning continues with the
+    merged token as the new left context (reference BPE semantics)."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda out, s: F.when(
+            (F.size(out) > 0)
+            & (F.element_at(out, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(out, 1, F.size(out) - 1),
+                F.array(F.concat(F.element_at(out, -1), s)),
+            ),
+        ).otherwise(F.concat(out, F.array(s))),
+    )
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The one corpus pass: (word, count) with words = whitespace
+    tokens, lowercased. Fixed-width rows from here on."""
+    words = F.explode(
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
+    ).alias("word")
+    return docs.select(words).groupBy("word").agg(F.count(F.lit(1)).alias("count"))
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 32,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn up to ``num_merges`` BPE merges from the corpus; stops
+    early when no adjacent pair reaches ``min_pair_count`` weighted
+    occurrences. Returns the ordered merge list."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    wf = (
+        word_frequencies(docs, text_col)
+        .select(_chars("word").alias("syms"), "count")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs = wf.select(
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("a"),
+                            F.element_at("syms", i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("p"),
+            "count",
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("count").alias("n"))
+            .orderBy(F.desc("n"), F.asc("p.a"), F.asc("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+        merges.append((a, b))
+        wf = wf.select(_apply_merge(F.col("syms"), a, b).alias("syms"), "count")
+        wf = wf.localCheckpoint(eager=True)  # see module docstring step 3
+    return merges
+
+
+def bpe_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Reference rank-greedy encoder for ONE word (also used by tests
+    as the independent scalar oracle for the distributed trainer's
+    apply step): repeatedly merge the lowest-rank adjacent pair."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        # merge ALL occurrences of that pair, leftmost-first
+        a, b = syms[best], syms[best + 1]
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def encode_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Per-document BPE token count under the learned merge table —
+    Arrow-batched pandas UDF with per-word memoization (encoding is
+    sequential per word; see module docstring for why this is the one
+    deliberate Python entry)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    @pandas_udf("long")
+    def _count(texts: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def doc_tokens(t) -> int:
+            total = 0
+            for w in (t or "").lower().split():
+                n = cache.get(w)
+                if n is None:
+                    n = len(bpe_word(w, ranks))
+                    cache[w] = n
+                total += n
+            return total
+
+        return texts.map(doc_tokens)
+
+    return docs.withColumn(out_col, _count(F.col(text_col)))

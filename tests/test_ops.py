@@ -1054,3 +1054,70 @@ def test_resample_matches_numpy_interp_randomized(spark):
         for g in by_key.values()
     )
     assert n_checked == expected
+
+
+def _scalar_bpe_train(word_counts, num_merges, min_pair_count=2):
+    """Independent in-memory reference trainer (Sennrich et al.):
+    identical tie-break (count desc, pair lexicographic asc)."""
+    rows = [(tuple(w), c) for w, c in word_counts.items()]
+    merges = []
+    for _ in range(num_merges):
+        pc = {}
+        for syms, c in rows:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < min_pair_count:
+            break
+        merges.append((a, b))
+
+        def app(syms):
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return tuple(out)
+
+        rows = [(app(s), c) for s, c in rows]
+    return merges
+
+
+def test_bpe_trainer_matches_scalar_reference(spark):
+    """The distributed trainer (explode/groupBy pair counting + JVM
+    merge fold) learns the IDENTICAL merge sequence as the in-memory
+    reference, on a corpus exercising overlapping pairs, ties, and
+    early stop; encode round-trips and the pandas-UDF counts match a
+    per-word scalar encode."""
+    from collections import Counter
+
+    from chunker_spark.ops.bpe import bpe_word, encode_counts, train_bpe
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "low new lower newer widest wide wide",
+        "aaaa aaa aa aaaa",  # overlapping-pair leftmost-first semantics
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    merges = train_bpe(docs, num_merges=12)
+    wf = Counter(w for t in texts for w in t.lower().split())
+    assert merges == _scalar_bpe_train(wf, 12)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    assert all("".join(bpe_word(w, ranks)) == w for w in wf)  # round-trip
+    got = {r.doc_id: r.bpe_tokens for r in encode_counts(docs, merges).collect()}
+    want = {
+        i: sum(len(bpe_word(w, ranks)) for w in t.lower().split())
+        for i, t in enumerate(texts)
+    }
+    assert got == want
+    # early stop: a corpus with no repeated pair learns nothing
+    solo = spark.createDataFrame([(0, "ab cd ef")], "doc_id int, text string")
+    assert train_bpe(solo, num_merges=5) == []
