@@ -25,7 +25,11 @@ column-tuple equality (modulo SHA-256 collisions).
 Contract: ``key_cols`` identify rows uniquely on each side (the CDC
 lake's primary key). A duplicated key would make the full-outer join
 multiply rows — ``table_diff(..., check_unique=True)`` adds a
-per-side uniqueness assertion that fails loudly instead.
+per-side uniqueness assertion that fails loudly instead. Keys must
+also be non-null: SQL join equality never matches null keys, so a
+null-keyed row on each side would read as only_left + only_right
+rather than one comparison (primary keys are non-null by definition;
+this is a reading aid, not a handled case).
 """
 
 from __future__ import annotations
