@@ -39,8 +39,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 def row_digest(compare_cols: list[str]) -> Column:
     """Canonical per-row digest of the compared columns (see module
-    docstring for why to_json over concat_ws)."""
-    return F.sha2(F.to_json(F.struct(*[F.col(c) for c in compare_cols])), 256)
+    docstring for why to_json over concat_ws). Packed to 32-byte
+    BINARY (``unhex``): the digest column dominates the diff's shuffle
+    row — hex doubles it for no information."""
+    return F.unhex(
+        F.sha2(F.to_json(F.struct(*[F.col(c) for c in compare_cols])), 256)
+    )
 
 
 def _digested(df: DataFrame, key_cols: list[str], compare_cols: list[str], name: str) -> DataFrame:
