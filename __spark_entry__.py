@@ -3263,7 +3263,7 @@ def q_doc_substring_dedup(spark, sf):
     al. arXiv:2107.06499 reformulated relationally — the suffix-array
     original does not distribute): every >= 8-token run occurring more
     than once in the corpus is struck from every document. The corpus
-    carries deterministic planted duplication — a fixed 12-token
+    carries deterministic planted duplication — a fixed 15-token
     boilerplate sentence appended to every doc_id % 4 == 0 document —
     so the strike verifiably fires; natural corpus repeats are caught
     identically by both engines. Full value oracle: the spliced

@@ -51,6 +51,8 @@ def main() -> None:
         print(f"| {n} | {a:.2f} | {b:.2f} | {r:.2f} |")
     tot_a = sum(r[1] for r in rows)
     tot_b = sum(r[2] for r in rows)
+    if not rows or tot_a == 0:
+        raise SystemExit("no comparable queries between the two records")
     print(f"| **total ({len(rows)} shared)** | {tot_a:.1f} | {tot_b:.1f} | "
           f"{tot_b / tot_a:.2f} |")
 

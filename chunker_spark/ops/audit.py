@@ -63,9 +63,9 @@ def table_diff(
     ``kind_col`` in ('only_left', 'only_right', 'mismatch'). Equal rows
     are absent — at scale the diff is tiny while the inputs are not.
 
-    One fixed-width shuffle per side (key + 64-hex digest); payload
-    columns are consumed map-side by the digest projection and never
-    enter the join.
+    One fixed-width shuffle per side (key + 32-byte binary digest);
+    payload columns are consumed map-side by the digest projection and
+    never enter the join.
     """
     if not key_cols or not compare_cols:
         raise ValueError("key_cols and compare_cols must be non-empty")

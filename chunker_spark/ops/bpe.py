@@ -122,8 +122,10 @@ def train_bpe(
             break
         a, b = top[0]["p"]["a"], top[0]["p"]["b"]
         merges.append((a, b))
+        prev = wf
         wf = wf.select(_apply_merge(F.col("syms"), a, b).alias("syms"), "count")
         wf = wf.localCheckpoint(eager=True)  # see module docstring step 3
+        prev.unpersist()  # bound block-manager storage to 2 generations
     return merges
 
 
@@ -168,13 +170,24 @@ def encode_counts(
 
     ranks = {tuple(m): i for i, m in enumerate(merges)}
 
+    import re
+
+    # EXACTLY the trainer's tokenizer: Java \s+ is ASCII-only
+    # ([ \t\n\x0B\f\r]); Python \s is Unicode-aware unless re.ASCII, so
+    # str.split() here would disagree with the JVM on U+00A0 etc. and
+    # break the bpe_tokens >= n_words invariant (caught in review by
+    # running a non-breaking-space document through both).
+    ws = re.compile(r"\s+", flags=re.ASCII)
+
     @pandas_udf("long")
     def _count(texts: pd.Series) -> pd.Series:
         cache: dict[str, int] = {}
 
         def doc_tokens(t) -> int:
             total = 0
-            for w in (t or "").lower().split():
+            for w in ws.split((t or "").lower()):
+                if not w:
+                    continue
                 n = cache.get(w)
                 if n is None:
                     n = len(bpe_word(w, ranks))

@@ -71,10 +71,12 @@ def resample(
     if step_us <= 0:
         raise ValueError(f"step_us must be positive, got {step_us}")
     keys = list(key_cols)
-    reserved = {"_rs_us", "_rs_tag", "_rs_obs", "grid_us", "value_locf", "value_lerp"}
-    bad = reserved & set(df.columns)
-    if bad - {"grid_us", "value_locf", "value_lerp"}:
-        raise ValueError(f"resample: input columns {sorted(bad)} collide with working names")
+    working = {"_rs_us", "_rs_tag", "_rs_obs"} & set(df.columns)
+    if working:
+        raise ValueError(f"resample: input columns {sorted(working)} collide with working names")
+    out_clash = {"grid_us", "value_locf", "value_lerp"} & set(keys)
+    if out_clash:
+        raise ValueError(f"resample: key columns {sorted(out_clash)} collide with output names")
 
     ts = F.col(ts_us_col).cast("long")
     step = F.lit(int(step_us))

@@ -1121,3 +1121,39 @@ def test_bpe_trainer_matches_scalar_reference(spark):
     # early stop: a corpus with no repeated pair learns nothing
     solo = spark.createDataFrame([(0, "ab cd ef")], "doc_id int, text string")
     assert train_bpe(solo, num_merges=5) == []
+
+
+def test_bpe_encode_tokenizer_matches_jvm_on_unicode_whitespace(spark):
+    """The encoder must tokenize EXACTLY like the JVM's \\s+ (ASCII):
+    a non-breaking space is NOT a separator, so 'a\\xa0b' is one word —
+    the bpe_ge_words gate depends on both sides agreeing."""
+    from pyspark.sql import functions as F
+
+    from chunker_spark.ops.bpe import encode_counts
+
+    docs = spark.createDataFrame([(0, "a \xa0 b"), (1, "x\u2009y z")],
+                                 "doc_id int, text string")
+    words = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                     lambda x: x != "")
+    got = {
+        r.doc_id: (r.n_words, r.bpe_tokens)
+        for r in encode_counts(docs, [])
+        .select("doc_id", F.size(words).alias("n_words"), "bpe_tokens")
+        .collect()
+    }
+    # no merges: bpe token count per word = its char count; word counts
+    # must agree with the JVM tokenization ('\xa0' and thin space are
+    # word CHARACTERS, not separators)
+    assert got[0][0] == 3 and got[1][0] == 2
+    assert got[0][1] == len("a") + len("\xa0") + len("b")
+    assert got[1][1] == len("x\u2009y") + len("z")
+
+
+def test_resample_rejects_colliding_key_names(spark):
+    import pytest
+
+    from chunker_spark.ops.resample import resample
+
+    df = spark.createDataFrame([("k", 0, 1.0)], "grid_us string, ts_us long, v double")
+    with pytest.raises(ValueError, match="output names"):
+        resample(df, ["grid_us"], "ts_us", "v", 10)
