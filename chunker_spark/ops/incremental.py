@@ -344,3 +344,132 @@ class SignatureStore:
             threshold=threshold,
             probe=probe,
         )
+
+
+# ---- incrementally-maintained substring-window counts -----------------
+
+
+def update_window_counts(
+    counts: DataFrame,
+    changes: DataFrame,
+    content_col: str = "content",
+    k: int = 8,
+) -> DataFrame:
+    """Apply one CDF interval (read with ``include_preimages=True``) to
+    the corpus-wide (h, n) k-window digest counts — the state behind
+    incremental duplicated-substring detection (`ops/substrings.py`):
+
+    - every insert / update_postimage row contributes +1 per window of
+      its content;
+    - every update_preimage / delete row contributes -1 per window of
+      its OLD content (this is exactly why the preimage feed exists:
+      counts are retractable aggregates).
+
+    One map-side explode of the interval's rows (fixed-width
+    (digest, ±1) rows — the corpus text never shuffles), one partial
+    aggregate of the deltas, one full-outer merge with the store;
+    zero-or-negative counts drop out. Cost per refresh is O(interval
+    tokens + store), never O(corpus tokens)."""
+    from .substrings import window_digests
+
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    deltas = (
+        changes.select(
+            F.explode(window_digests(content_col, k)).alias("h"), sign.alias("d")
+        )
+        .groupBy("h")
+        .agg(F.sum("d").alias("d"))
+    )
+    merged = counts.join(deltas, "h", "full_outer").select(
+        "h",
+        (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0))).alias("n"),
+    )
+    return merged.where(F.col("n") > 0)
+
+
+class WindowCountStore:
+    """Parquet-persisted k-window digest counts with exactly-once CDF
+    interval application — the duplicated-substring sibling of
+    `FingerprintStore` (same JSON-sidecar ledger, atomic cutover,
+    generation GC). ``dup_windows()`` is the live duplicated-window
+    set; joining it against a batch's window digests answers "does
+    this new document repeat anything in the corpus" without a corpus
+    scan."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        content_col: str = "content",
+        k: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.content_col = content_col
+        self.k = int(k)
+        os.makedirs(path, exist_ok=True)
+
+    _state_file = FingerprintStore._state_file
+    last_applied = FingerprintStore.last_applied
+    _data_dir = FingerprintStore._data_dir
+
+    def _check_params(self) -> None:
+        if not os.path.exists(self._state_file):
+            return
+        with open(self._state_file) as f:
+            saved = json.load(f).get("params")
+        if saved is not None and saved != {"k": self.k}:
+            raise ValueError(
+                f"WindowCountStore at {self.path} was built with {saved}, "
+                f"reopened with k={self.k}; delete the store to re-bootstrap"
+            )
+
+    def read(self) -> DataFrame:
+        self._check_params()
+        last = self.last_applied()
+        if last is None:
+            return self.spark.createDataFrame([], "h string, n bigint")
+        return self.spark.read.parquet(self._data_dir(last))
+
+    def dup_windows(self, min_count: int = 2) -> DataFrame:
+        return self.read().where(F.col("n") >= min_count)
+
+    def refresh(self, lake) -> dict:
+        """Advance to the lake's current commit; bootstrap counts from
+        the full resolved table once, then per-interval retractable
+        maintenance only."""
+        from .substrings import window_digests
+
+        self._check_params()
+        cur = lake.current_commit()["commit_seq"]
+        last = self.last_applied()
+        if last is not None and cur <= last:
+            return {"applied": False, "from": last, "to": cur}
+        if last is None:
+            new_store = (
+                lake.read()
+                .select(F.explode(window_digests(self.content_col, self.k)).alias("h"))
+                .groupBy("h")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+        else:
+            new_store = update_window_counts(
+                self.read(),
+                lake.changes(since=last, until=cur, include_preimages=True),
+                content_col=self.content_col,
+                k=self.k,
+            )
+        target = self._data_dir(cur)
+        new_store.write.mode("overwrite").parquet(target)
+        tmp = f"{self._state_file}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"last_commit": cur, "params": {"k": self.k}}, f)
+        os.replace(tmp, self._state_file)  # atomic cutover, crash-safe
+        for d in os.listdir(self.path):
+            if d.startswith("store-") and d != f"store-{cur:012d}":
+                import shutil
+
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        return {"applied": True, "from": last, "to": cur}

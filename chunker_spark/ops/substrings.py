@@ -56,6 +56,24 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def window_digests(text_col, k: int):
+    """array<string> of md5 digests, one per k-token window of the
+    document (0-based window i digests tokens [i, i+k)); empty when the
+    document has fewer than k tokens. The shared digesting expression
+    of the batch strike and the CDF-maintained window-count store —
+    both MUST tokenize/digest identically or incremental maintenance
+    diverges from recompute."""
+    words = F.split(F.trim(F.col(text_col) if isinstance(text_col, str) else text_col), r"\s+")
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.md5(F.array_join(F.slice(words, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def duplicated_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -72,16 +90,7 @@ def duplicated_spans(
         raise ValueError(f"k must be >= 1, got {k}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(words)
-    # 0-based window start positions; empty when the doc has < k tokens
-    digests = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.md5(F.array_join(F.slice(words, i + 1, k), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    digests = window_digests(text_col, k)
     win = docs.select(
         F.col(id_col).alias("_sd_id"), F.posexplode(digests).alias("pos", "h")
     )

@@ -1037,3 +1037,47 @@ def test_signature_store_rejects_param_mismatch(spark, tmp_path):
     # same params: fine (bands is a QUERY-time knob, not signature state)
     same = SignatureStore(spark, str(tmp_path / "sigs"), num_hashes=32, bands=4)
     assert same.refresh(lake)["applied"] is False
+
+
+def test_window_count_store_incremental_equals_recompute(spark, tmp_path):
+    """The CDF-maintained substring-window index: (digest, count) state
+    maintained ONLY from changes(..., include_preimages=True) — +1 per
+    window of every postimage, -1 per window of every preimage/delete —
+    equals a full window recount of the resolved table after every
+    commit, through updates, deletes and re-creates; refresh is
+    exactly-once; the derived duplicated-window set matches a direct
+    batch recount."""
+    from chunker_spark.ops.incremental import WindowCountStore
+    from chunker_spark.ops.substrings import window_digests
+
+    K = 4
+    events = list(gen_events_local(SPEC, 240))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=4, compact_threshold=3)
+    store = WindowCountStore(spark, str(tmp_path / "wcs"), k=K)
+
+    def recount():
+        return {
+            (r["h"], r["n"])
+            for r in lake.read()
+            .select(F.explode(window_digests("content", K)).alias("h"))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    for i, lo in enumerate(range(0, 240, 60)):
+        apply_batch(lake, _events_df(spark, events[lo : lo + 60]), f"wc{i}", params=PARAMS)
+        res = store.refresh(lake)
+        assert res["applied"] is True
+        assert store.refresh(lake)["applied"] is False  # exactly-once
+        got = {(r["h"], r["n"]) for r in store.read().collect()}
+        assert got == recount(), f"commit interval {i}"
+
+    dup_got = {(r["h"], r["n"]) for r in store.dup_windows().collect()}
+    dup_want = {(h, n) for (h, n) in recount() if n >= 2}
+    assert dup_got == dup_want
+    # params pinned: reopening with a different k is a hard error
+    import pytest
+
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        WindowCountStore(spark, str(tmp_path / "wcs"), k=K + 1).read()
