@@ -193,6 +193,18 @@ def main() -> None:
         mixed.where(F.length("text") > 0).select(F.explode(win_starts)).count()
     )
 
+    # 7b. tokenizer training on the curated corpus (ops/bpe.py): the
+    # merges a real pipeline ships alongside the shards; encoding the
+    # corpus with them gives the true token budget packing would use
+    # on the next iteration of the pipeline
+    from chunker_spark.ops.bpe import encode_counts, train_bpe
+
+    merges = train_bpe(mixed, num_merges=8)
+    out["bpe_merges_learned"] = len(merges)
+    out["bpe_corpus_tokens"] = int(
+        encode_counts(mixed, merges).agg(F.sum("bpe_tokens")).collect()[0][0] or 0
+    )
+
     # 8. hand-off: deterministic sharded JSONL export + verification —
     # what the training job actually mounts
     import tempfile
