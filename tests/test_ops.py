@@ -1157,3 +1157,57 @@ def test_resample_rejects_colliding_key_names(spark):
     df = spark.createDataFrame([("k", 0, 1.0)], "grid_us string, ts_us long, v double")
     with pytest.raises(ValueError, match="output names"):
         resample(df, ["grid_us"], "ts_us", "v", 10)
+
+
+def test_strike_duplicated_substrings_matches_bruteforce_randomized(spark):
+    """Randomized cross-check against an independent in-memory
+    implementation of the same spec: window counting (Counter),
+    overlap/adjacency island merge, strike-all splice. Seeded corpora
+    with a tiny vocabulary force heavy natural duplication, overlaps
+    and intra-doc repeats."""
+    import random
+    from collections import Counter
+
+    from chunker_spark.ops.substrings import strike_duplicated_substrings
+
+    K = 3
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 30))))
+        for i in range(40)
+    ]
+
+    def brute(docs):
+        toks = {i: t.split() for i, t in docs}
+        cnt = Counter()
+        for ws in toks.values():
+            for p in range(len(ws) - K + 1):
+                cnt[tuple(ws[p : p + K])] += 1
+        out = {}
+        for i, ws in toks.items():
+            dup_pos = [
+                p for p in range(len(ws) - K + 1)
+                if cnt[tuple(ws[p : p + K])] >= 2
+            ]
+            spans = []
+            for p in dup_pos:
+                if spans and p <= spans[-1][1] + K:  # overlap/adjacent (p <= prev_p + K)
+                    spans[-1] = (spans[-1][0], max(spans[-1][1], p))
+                else:
+                    spans.append((p, p))
+            spans = [(s, e + K) for s, e in spans]  # token-index spans, end excl
+            covered = set()
+            for s, e in spans:
+                covered.update(range(s, e))
+            kept = [w for j, w in enumerate(ws) if j not in covered]
+            out[i] = (" ".join(kept), len(ws), len(ws) - len(kept), len(spans))
+        return out
+
+    want = brute(docs)
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed, r.n_spans)
+        for r in strike_duplicated_substrings(df, k=K).collect()
+    }
+    assert got == want
