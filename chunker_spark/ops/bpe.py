@@ -198,3 +198,64 @@ def encode_counts(
         return texts.map(doc_tokens)
 
     return docs.withColumn(out_col, _count(F.col(text_col)))
+
+
+def encode_tokens(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Per-document BPE token SEQUENCE (array<string>) under the
+    learned merge table — same tokenizer/memoization as
+    ``encode_counts``; concatenating a word's tokens reproduces the
+    word (no end-of-word marker), which the tests assert."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    ws = re.compile(r"\s+", flags=re.ASCII)
+
+    @pandas_udf("array<string>")
+    def _tokens(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def doc_tokens(t) -> list[str]:
+            out: list[str] = []
+            for w in ws.split((t or "").lower()):
+                if not w:
+                    continue
+                toks = cache.get(w)
+                if toks is None:
+                    toks = bpe_word(w, ranks)
+                    cache[w] = toks
+                out.extend(toks)
+            return out
+
+        return texts.map(doc_tokens)
+
+    return docs.withColumn(out_col, _tokens(F.col(text_col)))
+
+
+def vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """The shippable tokenizer artifact: (token, count, token_id) over
+    the encoded corpus — ids assigned by (count desc, token asc), so
+    the mapping is a pure function of corpus + merges (stable across
+    runs and partitionings). One explode + partial-combining count +
+    one global sort of the (small) vocab — the corpus shuffles tokens
+    once, fixed-width."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        encode_tokens(docs, merges, text_col)
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    return counts.withColumn("token_id", F.row_number().over(w) - 1)

@@ -1211,3 +1211,28 @@ def test_strike_duplicated_substrings_matches_bruteforce_randomized(spark):
         for r in strike_duplicated_substrings(df, k=K).collect()
     }
     assert got == want
+
+
+def test_bpe_encode_tokens_and_vocab(spark):
+    """Token sequences round-trip (concatenation reproduces each word's
+    normalized text) and the vocab artifact equals a scalar recount
+    with deterministic (count desc, token asc) id assignment."""
+    from collections import Counter
+
+    from chunker_spark.ops.bpe import bpe_word, encode_tokens, train_bpe, vocab
+
+    texts = ["low lower lowest low low", "new newer newest new newer wide wide"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id int, text string")
+    merges = train_bpe(docs, num_merges=10)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    rows = encode_tokens(docs, merges).collect()
+    for r in rows:
+        assert "".join(r.tokens) == "".join(texts[r.doc_id].lower().split())
+    want = Counter(
+        tok for t in texts for w in t.lower().split() for tok in bpe_word(w, ranks)
+    )
+    got = {r["token"]: (r["count"], r["token_id"]) for r in vocab(docs, merges).collect()}
+    assert {k: v[0] for k, v in got.items()} == dict(want)
+    order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [t for t, _ in order] == [t for t, _ in sorted(got.items(), key=lambda kv: kv[1][1])]
