@@ -319,7 +319,15 @@ class LakeTable:
             deletes = old_payloads.where(F.col("_change_type") == "delete").select(
                 *payload_cols, F.col("seq"), F.col("_change_type")
             )
-            return upserts.unionByName(preimages).unionByName(deletes)
+            # column-metadata marker: retraction-based consumers
+            # (ops/incremental.update_window_counts) refuse a feed
+            # without it — a preimage-less interval corrupts their
+            # state silently, so the misuse must be loud
+            return (
+                upserts.unionByName(preimages)
+                .unionByName(deletes)
+                .withMetadata("_change_type", {"cdf_preimages": True})
+            )
         deletes = changed.where(F.col("_change_type") == "delete").select(
             *KEY_COLS,
             *[

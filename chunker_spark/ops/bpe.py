@@ -38,6 +38,8 @@ fallback.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
@@ -156,6 +158,42 @@ def bpe_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+# EXACTLY the trainer's tokenizer: Java \s+ is ASCII-only
+# ([ \t\n\x0B\f\r]); Python \s is Unicode-aware unless re.ASCII, so
+# str.split() here would disagree with the JVM on U+00A0 etc. and
+# break the bpe_tokens >= n_words invariant (caught in review by
+# running a non-breaking-space document through both). The ONE
+# tokenizer shared by every encoder below — do not fork it.
+_WS = re.compile(r"\s+", flags=re.ASCII)
+
+
+def _doc_tokens(text, encode_word) -> list[str]:
+    """Tokenize one document with the shared whitespace rule and a
+    memoized per-word encoder — the single tokenizer body behind
+    ``encode_counts``/``encode_tokens``/``vocab``."""
+    out: list[str] = []
+    for w in _WS.split((text or "").lower()):
+        if w:
+            out.extend(encode_word(w))
+    return out
+
+
+def _memo_word_encoder(merges: list[tuple[str, str]]):
+    """Per-batch memoized word encoder (the HF fast path: word types
+    repeat heavily within an Arrow batch)."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    cache: dict[str, list[str]] = {}
+
+    def enc(w: str) -> list[str]:
+        toks = cache.get(w)
+        if toks is None:
+            toks = bpe_word(w, ranks)
+            cache[w] = toks
+        return toks
+
+    return enc
+
+
 def encode_counts(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -168,34 +206,10 @@ def encode_counts(
     deliberate Python entry)."""
     from pyspark.sql.functions import pandas_udf
 
-    ranks = {tuple(m): i for i, m in enumerate(merges)}
-
-    import re
-
-    # EXACTLY the trainer's tokenizer: Java \s+ is ASCII-only
-    # ([ \t\n\x0B\f\r]); Python \s is Unicode-aware unless re.ASCII, so
-    # str.split() here would disagree with the JVM on U+00A0 etc. and
-    # break the bpe_tokens >= n_words invariant (caught in review by
-    # running a non-breaking-space document through both).
-    ws = re.compile(r"\s+", flags=re.ASCII)
-
     @pandas_udf("long")
     def _count(texts: pd.Series) -> pd.Series:
-        cache: dict[str, int] = {}
-
-        def doc_tokens(t) -> int:
-            total = 0
-            for w in ws.split((t or "").lower()):
-                if not w:
-                    continue
-                n = cache.get(w)
-                if n is None:
-                    n = len(bpe_word(w, ranks))
-                    cache[w] = n
-                total += n
-            return total
-
-        return texts.map(doc_tokens)
+        enc = _memo_word_encoder(merges)
+        return texts.map(lambda t: len(_doc_tokens(t, enc)))
 
     return docs.withColumn(out_col, _count(F.col(text_col)))
 
@@ -210,30 +224,12 @@ def encode_tokens(
     learned merge table — same tokenizer/memoization as
     ``encode_counts``; concatenating a word's tokens reproduces the
     word (no end-of-word marker), which the tests assert."""
-    import re
-
     from pyspark.sql.functions import pandas_udf
-
-    ranks = {tuple(m): i for i, m in enumerate(merges)}
-    ws = re.compile(r"\s+", flags=re.ASCII)
 
     @pandas_udf("array<string>")
     def _tokens(texts: pd.Series) -> pd.Series:
-        cache: dict[str, list[str]] = {}
-
-        def doc_tokens(t) -> list[str]:
-            out: list[str] = []
-            for w in ws.split((t or "").lower()):
-                if not w:
-                    continue
-                toks = cache.get(w)
-                if toks is None:
-                    toks = bpe_word(w, ranks)
-                    cache[w] = toks
-                out.extend(toks)
-            return out
-
-        return texts.map(doc_tokens)
+        enc = _memo_word_encoder(merges)
+        return texts.map(lambda t: _doc_tokens(t, enc))
 
     return docs.withColumn(out_col, _tokens(F.col(text_col)))
 
@@ -246,16 +242,24 @@ def vocab(
     """The shippable tokenizer artifact: (token, count, token_id) over
     the encoded corpus — ids assigned by (count desc, token asc), so
     the mapping is a pure function of corpus + merges (stable across
-    runs and partitionings). One explode + partial-combining count +
-    one global sort of the (small) vocab — the corpus shuffles tokens
-    once, fixed-width."""
+    runs and partitionings).
+
+    Cost model matches the trainer, not the corpus: one corpus pass
+    builds the (word, count) TYPE frame, each word type is encoded
+    once (``encode_tokens`` over the type frame — a word is its own
+    whitespace token, so the shared tokenizer applies verbatim), and
+    token counts are the count-weighted sum over types. Only the small
+    type/vocab frames ever shuffle — O(word types), not O(corpus
+    tokens). The final id assignment is one global sort of the vocab
+    (single-partition window, fine: a vocab is merges+alphabet-sized).
+    """
     from pyspark.sql.window import Window
 
     counts = (
-        encode_tokens(docs, merges, text_col)
-        .select(F.explode("tokens").alias("token"))
+        encode_tokens(word_frequencies(docs, text_col), merges, text_col="word")
+        .select(F.explode("tokens").alias("token"), "count")
         .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("count"))
+        .agg(F.sum("count").alias("count"))
     )
     w = Window.orderBy(F.desc("count"), F.asc("token"))
     return counts.withColumn("token_id", F.row_number().over(w) - 1)

@@ -548,7 +548,7 @@ def containment_pairs(
     Returns (id_a, id_b, containment, n_a, n_b) with id_a < id_b;
     ``n_a``/``n_b`` are the distinct-gram counts, so the smaller side
     (the contained fragment) is identifiable. Zero-gram documents
-    (< n words after the `\W+` split) produce no pairs — corpora with
+    (< n words after the ``\\W+`` split) produce no pairs — corpora with
     sub-n-word or heavily non-ASCII texts should pre-filter with the
     same tokenizer if completeness over them matters.
     """

@@ -24,15 +24,107 @@ The persistence wrapper (`FingerprintStore`) keeps the store as
 parquet beside a tiny JSON state file recording the last-applied
 commit, applying intervals idempotently: a re-run of the same refresh
 sees ``since == last_applied`` and no-ops, the same ledger discipline
-the lake itself uses for batches.
+the lake itself uses for batches. `SignatureStore` (MinHash near-dup)
+and `WindowCountStore` (duplicated-substring window counts) share the
+ledger machinery through `_CdfStoreBase`.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class _CdfStoreBase:
+    """Shared ledger machinery for CDF-maintained parquet stores: a
+    JSON sidecar pinning the last-applied commit (and the store's
+    creation-time parameters), atomic cutover via os.replace, and
+    generation GC that keeps the new store AND its immediate
+    predecessor — so a lazy DataFrame handed out by ``read()`` before
+    a refresh stays readable for one more cycle instead of pointing at
+    a deleted directory; only generations older than that are removed.
+
+    Subclasses set ``_empty_schema`` (DDL string for the empty store)
+    and implement ``_bootstrap(lake)`` / ``_update(lake, last, cur)``;
+    parameterized stores override ``_params`` to pin their signature
+    parameters in the sidecar (a reopen with different values is a
+    hard error, not a silent mix of incomparable state).
+    """
+
+    _empty_schema: str = ""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _state_file(self) -> str:
+        return os.path.join(self.path, "state.json")
+
+    def last_applied(self) -> int | None:
+        if not os.path.exists(self._state_file):
+            return None
+        with open(self._state_file) as f:
+            return json.load(f)["last_commit"]
+
+    def _data_dir(self, commit: int) -> str:
+        return os.path.join(self.path, f"store-{commit:012d}")
+
+    @property
+    def _params(self) -> dict | None:
+        return None
+
+    def _check_params(self) -> None:
+        if self._params is None or not os.path.exists(self._state_file):
+            return
+        with open(self._state_file) as f:
+            saved = json.load(f).get("params")
+        if saved is not None and saved != self._params:
+            raise ValueError(
+                f"{type(self).__name__} at {self.path} was built with {saved}, "
+                f"reopened with {self._params}; delete the store to re-bootstrap"
+            )
+
+    def read(self) -> DataFrame:
+        self._check_params()
+        last = self.last_applied()
+        if last is None:
+            return self.spark.createDataFrame([], self._empty_schema)
+        return self.spark.read.parquet(self._data_dir(last))
+
+    def _bootstrap(self, lake) -> DataFrame:
+        raise NotImplementedError
+
+    def _update(self, lake, last: int, cur: int) -> DataFrame:
+        raise NotImplementedError
+
+    def refresh(self, lake) -> dict:
+        """Advance the store to the lake's current commit. Bootstrap
+        (first call) computes state from the full resolved table once;
+        every later call processes only `changes(last, current)`.
+        Returns {'applied': bool, 'from': ..., 'to': ...}."""
+        self._check_params()
+        cur = lake.current_commit()["commit_seq"]
+        last = self.last_applied()
+        if last is not None and cur <= last:
+            return {"applied": False, "from": last, "to": cur}
+        new_store = self._bootstrap(lake) if last is None else self._update(lake, last, cur)
+        new_store.write.mode("overwrite").parquet(self._data_dir(cur))
+        tmp = f"{self._state_file}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"last_commit": cur, "params": self._params}, f)
+        os.replace(tmp, self._state_file)  # atomic cutover, crash-safe
+        keep = {f"store-{cur:012d}"}
+        if last is not None:
+            keep.add(f"store-{last:012d}")  # predecessor survives one cycle
+        for d in os.listdir(self.path):
+            if d.startswith("store-") and d not in keep:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        return {"applied": True, "from": last, "to": cur}
 
 
 def update_fingerprint_store(
@@ -69,7 +161,7 @@ def dup_groups(store: DataFrame, key_cols: tuple[str, ...] = ("repo", "path")) -
     )
 
 
-class FingerprintStore:
+class FingerprintStore(_CdfStoreBase):
     """Parquet-persisted fingerprint store with exactly-once interval
     application (last-applied commit in a JSON sidecar)."""
 
@@ -80,68 +172,27 @@ class FingerprintStore:
         key_cols: tuple[str, ...] = ("repo", "path"),
         content_col: str = "content",
     ) -> None:
-        self.spark = spark
-        self.path = path
+        super().__init__(spark, path)
         self.key_cols = tuple(key_cols)
         self.content_col = content_col
-        os.makedirs(path, exist_ok=True)
 
     @property
-    def _state_file(self) -> str:
-        return os.path.join(self.path, "state.json")
+    def _empty_schema(self) -> str:
+        return ", ".join([f"{k} string" for k in self.key_cols] + ["fp string"])
 
-    def last_applied(self) -> int | None:
-        if not os.path.exists(self._state_file):
-            return None
-        with open(self._state_file) as f:
-            return json.load(f)["last_commit"]
+    def _bootstrap(self, lake) -> DataFrame:
+        return lake.read().select(
+            *self.key_cols,
+            F.sha2(F.col(self.content_col).cast("binary"), 256).alias("fp"),
+        )
 
-    def _data_dir(self, commit: int) -> str:
-        return os.path.join(self.path, f"store-{commit:012d}")
-
-    def read(self) -> DataFrame:
-        last = self.last_applied()
-        if last is None:
-            schema = ", ".join([f"{k} string" for k in self.key_cols] + ["fp string"])
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(self._data_dir(last))
-
-    def refresh(self, lake) -> dict:
-        """Advance the store to the lake's current commit. Bootstrap
-        (first call) fingerprints the full resolved table once; every
-        later call processes only `changes(last, current)`. Returns
-        {'applied': bool, 'from': ..., 'to': ...}."""
-        cur = lake.current_commit()["commit_seq"]
-        last = self.last_applied()
-        if last is not None and cur <= last:
-            return {"applied": False, "from": last, "to": cur}
-        keys = list(self.key_cols)
-        if last is None:
-            new_store = lake.read().select(
-                *keys,
-                F.sha2(F.col(self.content_col).cast("binary"), 256).alias("fp"),
-            )
-        else:
-            new_store = update_fingerprint_store(
-                self.read(),
-                lake.changes(since=last, until=cur),
-                key_cols=self.key_cols,
-                content_col=self.content_col,
-            )
-        target = self._data_dir(cur)
-        new_store.write.mode("overwrite").parquet(target)
-        tmp = f"{self._state_file}.tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump({"last_commit": cur}, f)
-        os.replace(tmp, self._state_file)  # atomic cutover, crash-safe
-        # previous generation stays until the NEXT refresh overwrites
-        # its own target; cheap GC of older generations:
-        for d in os.listdir(self.path):
-            if d.startswith("store-") and d != f"store-{cur:012d}":
-                import shutil
-
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
-        return {"applied": True, "from": last, "to": cur}
+    def _update(self, lake, last: int, cur: int) -> DataFrame:
+        return update_fingerprint_store(
+            self.read(),
+            lake.changes(since=last, until=cur),
+            key_cols=self.key_cols,
+            content_col=self.content_col,
+        )
 
 
 # ---- incrementally-maintained MinHash signatures (near-dup) ----------
@@ -231,10 +282,16 @@ def near_dup_pairs_from_store(
     )
 
 
-class SignatureStore:
+class SignatureStore(_CdfStoreBase):
     """Parquet-persisted MinHash-signature store with exactly-once CDF
     interval application — the near-dup sibling of `FingerprintStore`
-    (same JSON-sidecar ledger, atomic cutover, generation GC)."""
+    (same JSON-sidecar ledger, atomic cutover, generation GC).
+
+    Signatures are a pure function of (num_hashes, shingle_k, seed):
+    reopening an existing store with different values would silently
+    mix incomparable signatures into one table on the next incremental
+    refresh, so the sidecar pins the creation-time values and a
+    mismatch is a hard error, not a degradation."""
 
     def __init__(
         self,
@@ -247,19 +304,13 @@ class SignatureStore:
         shingle_k: int = 5,
         seed: int = 1,
     ) -> None:
-        self.spark = spark
-        self.path = path
+        super().__init__(spark, path)
         self.key_cols = tuple(key_cols)
         self.content_col = content_col
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_k = shingle_k
         self.seed = seed
-        os.makedirs(path, exist_ok=True)
-
-    _state_file = FingerprintStore._state_file
-    last_applied = FingerprintStore.last_applied
-    _data_dir = FingerprintStore._data_dir
 
     @property
     def _params(self) -> dict:
@@ -269,71 +320,30 @@ class SignatureStore:
             "seed": self.seed,
         }
 
-    def _check_params(self) -> None:
-        """Signatures are a pure function of (num_hashes, shingle_k,
-        seed): reopening an existing store with different values would
-        silently mix incomparable signatures into one table on the
-        next incremental refresh. The sidecar pins the creation-time
-        values; a mismatch is a hard error, not a degradation."""
-        if not os.path.exists(self._state_file):
-            return
-        with open(self._state_file) as f:
-            saved = json.load(f).get("params")
-        if saved is not None and saved != self._params:
-            raise ValueError(
-                f"SignatureStore at {self.path} was built with {saved}, "
-                f"reopened with {self._params}; delete the store to re-bootstrap"
-            )
+    @property
+    def _empty_schema(self) -> str:
+        return ", ".join(
+            [f"{k} string" for k in self.key_cols] + ["sig array<bigint>"]
+        )
 
-    def read(self) -> DataFrame:
-        self._check_params()
-        last = self.last_applied()
-        if last is None:
-            schema = ", ".join(
-                [f"{k} string" for k in self.key_cols] + ["sig array<bigint>"]
-            )
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(self._data_dir(last))
-
-    def refresh(self, lake) -> dict:
-        """Advance to the lake's current commit; bootstrap signatures
-        the full resolved table once, then per-interval maintenance
-        only. Returns {'applied': bool, 'from': ..., 'to': ...}."""
+    def _bootstrap(self, lake) -> DataFrame:
         from .dedup import minhash_udf
 
-        self._check_params()
-        cur = lake.current_commit()["commit_seq"]
-        last = self.last_applied()
-        if last is not None and cur <= last:
-            return {"applied": False, "from": last, "to": cur}
-        keys = list(self.key_cols)
         mk_sig = minhash_udf(self.num_hashes, self.shingle_k, self.seed)
-        if last is None:
-            new_store = lake.read().select(
-                *keys, mk_sig(F.col(self.content_col)).alias("sig")
-            )
-        else:
-            new_store = update_signature_store(
-                self.read(),
-                lake.changes(since=last, until=cur),
-                key_cols=self.key_cols,
-                content_col=self.content_col,
-                num_hashes=self.num_hashes,
-                shingle_k=self.shingle_k,
-                seed=self.seed,
-            )
-        target = self._data_dir(cur)
-        new_store.write.mode("overwrite").parquet(target)
-        tmp = f"{self._state_file}.tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump({"last_commit": cur, "params": self._params}, f)
-        os.replace(tmp, self._state_file)  # atomic cutover, crash-safe
-        for d in os.listdir(self.path):
-            if d.startswith("store-") and d != f"store-{cur:012d}":
-                import shutil
+        return lake.read().select(
+            *self.key_cols, mk_sig(F.col(self.content_col)).alias("sig")
+        )
 
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
-        return {"applied": True, "from": last, "to": cur}
+    def _update(self, lake, last: int, cur: int) -> DataFrame:
+        return update_signature_store(
+            self.read(),
+            lake.changes(since=last, until=cur),
+            key_cols=self.key_cols,
+            content_col=self.content_col,
+            num_hashes=self.num_hashes,
+            shingle_k=self.shingle_k,
+            seed=self.seed,
+        )
 
     def near_dups(self, threshold: float = 0.6, probe: DataFrame | None = None) -> DataFrame:
         return near_dup_pairs_from_store(
@@ -354,6 +364,7 @@ def update_window_counts(
     changes: DataFrame,
     content_col: str = "content",
     k: int = 8,
+    assume_preimages: bool = False,
 ) -> DataFrame:
     """Apply one CDF interval (read with ``include_preimages=True``) to
     the corpus-wide (h, n) k-window digest counts — the state behind
@@ -365,6 +376,13 @@ def update_window_counts(
       its OLD content (this is exactly why the preimage feed exists:
       counts are retractable aggregates).
 
+    A changes frame read WITHOUT preimages corrupts the store silently
+    (deletes carry null content → the retraction vanishes; updates add
+    with no matching subtract), so this function requires the
+    ``include_preimages`` marker `LakeTable.changes` stamps on
+    ``_change_type``; pass ``assume_preimages=True`` only for
+    hand-built frames that really do carry preimage rows.
+
     One map-side explode of the interval's rows (fixed-width
     (digest, ±1) rows — the corpus text never shuffles), one partial
     aggregate of the deltas, one full-outer merge with the store;
@@ -372,6 +390,19 @@ def update_window_counts(
     tokens + store), never O(corpus tokens)."""
     from .substrings import window_digests
 
+    if not assume_preimages:
+        meta = (
+            changes.schema["_change_type"].metadata
+            if "_change_type" in changes.columns
+            else {}
+        )
+        if not meta.get("cdf_preimages"):
+            raise ValueError(
+                "update_window_counts needs the retraction feed: read the "
+                "interval with lake.changes(..., include_preimages=True), or "
+                "pass assume_preimages=True for a hand-built frame that "
+                "carries update_preimage rows and pre-delete payloads"
+            )
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
@@ -389,7 +420,7 @@ def update_window_counts(
     return merged.where(F.col("n") > 0)
 
 
-class WindowCountStore:
+class WindowCountStore(_CdfStoreBase):
     """Parquet-persisted k-window digest counts with exactly-once CDF
     interval application — the duplicated-substring sibling of
     `FingerprintStore` (same JSON-sidecar ledger, atomic cutover,
@@ -398,6 +429,8 @@ class WindowCountStore:
     this new document repeat anything in the corpus" without a corpus
     scan."""
 
+    _empty_schema = "h string, n bigint"
+
     def __init__(
         self,
         spark: SparkSession,
@@ -405,82 +438,44 @@ class WindowCountStore:
         content_col: str = "content",
         k: int = 8,
     ) -> None:
-        self.spark = spark
-        self.path = path
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        super().__init__(spark, path)
         self.content_col = content_col
         self.k = int(k)
-        os.makedirs(path, exist_ok=True)
 
-    _state_file = FingerprintStore._state_file
-    last_applied = FingerprintStore.last_applied
-    _data_dir = FingerprintStore._data_dir
-
-    def _check_params(self) -> None:
-        if not os.path.exists(self._state_file):
-            return
-        with open(self._state_file) as f:
-            saved = json.load(f).get("params")
-        if saved is not None and saved != {"k": self.k}:
-            raise ValueError(
-                f"WindowCountStore at {self.path} was built with {saved}, "
-                f"reopened with k={self.k}; delete the store to re-bootstrap"
-            )
-
-    def read(self) -> DataFrame:
-        self._check_params()
-        last = self.last_applied()
-        if last is None:
-            return self.spark.createDataFrame([], "h string, n bigint")
-        return self.spark.read.parquet(self._data_dir(last))
+    @property
+    def _params(self) -> dict:
+        return {"k": self.k}
 
     def dup_windows(self, min_count: int = 2) -> DataFrame:
         return self.read().where(F.col("n") >= min_count)
 
-    def refresh(self, lake) -> dict:
-        """Advance to the lake's current commit; bootstrap counts from
-        the full resolved table once, then per-interval retractable
-        maintenance only."""
+    def _bootstrap(self, lake) -> DataFrame:
         from .substrings import window_digests
 
-        self._check_params()
-        cur = lake.current_commit()["commit_seq"]
-        last = self.last_applied()
-        if last is not None and cur <= last:
-            return {"applied": False, "from": last, "to": cur}
-        if last is None:
-            new_store = (
-                lake.read()
-                .select(F.explode(window_digests(self.content_col, self.k)).alias("h"))
-                .groupBy("h")
-                .agg(F.count(F.lit(1)).alias("n"))
-            )
-        else:
-            new_store = update_window_counts(
-                self.read(),
-                lake.changes(since=last, until=cur, include_preimages=True),
-                content_col=self.content_col,
-                k=self.k,
-            )
-        target = self._data_dir(cur)
-        new_store.write.mode("overwrite").parquet(target)
-        tmp = f"{self._state_file}.tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump({"last_commit": cur, "params": {"k": self.k}}, f)
-        os.replace(tmp, self._state_file)  # atomic cutover, crash-safe
-        for d in os.listdir(self.path):
-            if d.startswith("store-") and d != f"store-{cur:012d}":
-                import shutil
+        return (
+            lake.read()
+            .select(F.explode(window_digests(self.content_col, self.k)).alias("h"))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
 
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
-        return {"applied": True, "from": last, "to": cur}
+    def _update(self, lake, last: int, cur: int) -> DataFrame:
+        return update_window_counts(
+            self.read(),
+            lake.changes(since=last, until=cur, include_preimages=True),
+            content_col=self.content_col,
+            k=self.k,
+        )
 
 
 def probe_window_duplicates(
     store_or_counts,
     batch: DataFrame,
     id_cols: tuple[str, ...] = ("repo", "path"),
-    content_col: str = "content",
-    k: int = 8,
+    content_col: str | None = None,
+    k: int | None = None,
     min_count: int = 2,
 ) -> DataFrame:
     """Probe-mode duplicated-substring check for an incoming batch: for
@@ -491,31 +486,54 @@ def probe_window_duplicates(
     corpus scan and no shuffle of any text.
 
     ``store_or_counts`` is a ``WindowCountStore`` or a raw (h, n)
-    frame. Returns (id..., n_windows, n_dup_windows, dup_fraction).
-    Note the index reflects the corpus as of its last refresh: windows
+    frame. With a store, ``k`` and ``content_col`` default to the
+    store's pinned values and an explicit mismatch is a hard error
+    (digests computed with a different k never match the index — the
+    probe would silently report zero duplicates); with a raw frame
+    they default to k=8 / "content" and the caller owns the match.
+
+    Returns (id..., n_windows, n_dup_windows, dup_fraction). Note the
+    index reflects the corpus as of its last refresh: windows
     duplicated only WITHIN the probe batch itself are not counted —
     refresh first if self-duplication matters."""
     from .substrings import window_digests
 
-    counts = (
-        store_or_counts.read()
-        if isinstance(store_or_counts, WindowCountStore)
-        else store_or_counts
-    )
-    dup = counts.where(F.col("n") >= min_count).select("h")
+    if isinstance(store_or_counts, WindowCountStore):
+        store = store_or_counts
+        if k is not None and k != store.k:
+            raise ValueError(
+                f"probe k={k} does not match the store's pinned k={store.k}"
+            )
+        if content_col is not None and content_col != store.content_col:
+            raise ValueError(
+                f"probe content_col={content_col!r} does not match the "
+                f"store's pinned content_col={store.content_col!r}"
+            )
+        k, content_col = store.k, store.content_col
+        counts = store.read()
+    else:
+        counts = store_or_counts
+        k = 8 if k is None else k
+        content_col = "content" if content_col is None else content_col
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+    dup = counts.where(F.col("n") >= min_count).select("h", F.lit(1).alias("_dup"))
     ids = list(id_cols)
-    win = batch.select(
-        *ids, F.posexplode(window_digests(content_col, k)).alias("_pos", "h")
+    win = batch.select(*ids, F.explode(window_digests(content_col, k)).alias("h"))
+    # one pass: dup digests are unique (grouped counts), so the left
+    # join never multiplies rows and both counts come from one aggregate
+    stats = (
+        win.join(dup, "h", "left")
+        .groupBy(*ids)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("_dup").alias("n_dup_windows"),
+        )
     )
-    flagged = win.join(dup, "h", "left_semi").groupBy(*ids).agg(
-        F.count(F.lit(1)).alias("n_dup_windows")
-    )
-    totals = win.groupBy(*ids).agg(F.count(F.lit(1)).alias("n_windows"))
     return (
         batch.select(*ids)
         .distinct()
-        .join(totals, ids, "left")
-        .join(flagged, ids, "left")
+        .join(stats, ids, "left")
         .select(
             *ids,
             F.coalesce("n_windows", F.lit(0)).alias("n_windows"),

@@ -1125,4 +1125,57 @@ def test_probe_window_duplicates_against_store(spark, tmp_path):
     assert got["new-full-copy"][2] == 1.0 and got["new-full-copy"][0] == 5
     assert got["new-fresh"][1] == 0 and got["new-fresh"][2] == 0.0
     assert got["new-short"] == (0, 0, 0.0)
-    assert 0.0 < got["new-half"][2] < 1.0 or got["new-half"][1] >= 0  # windows counted
+    # 8 tokens -> 5 windows; exactly window 0 ("epsilon zeta eta
+    # theta") also occurs in the ingested base document
+    assert got["new-half"] == (5, 1, 1 / 5)
+
+    import pytest
+
+    # a store pins k: probing with a different explicit k would compute
+    # digests that never match the index (silent zero-dup report), so
+    # it is a hard error; omitting k uses the pinned value (asserted
+    # above — the call passed k=K which equals the pin)
+    with pytest.raises(ValueError, match="pinned k"):
+        probe_window_duplicates(store, probe, k=K + 1)
+    with pytest.raises(ValueError, match="pinned content_col"):
+        probe_window_duplicates(store, probe, content_col="text")
+
+
+def test_window_count_guards(spark, tmp_path):
+    """Misuse guards around the retractable window-count state: a
+    changes frame read without include_preimages is rejected (it would
+    corrupt counts silently — deletes lose their retraction), k < 1 is
+    rejected at construction, and a lazy read() frame stays collectable
+    across ONE subsequent refresh (the GC keeps the predecessor
+    generation exactly for handed-out frames)."""
+    import pytest
+
+    from chunker_spark.ops.incremental import WindowCountStore, update_window_counts
+
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        WindowCountStore(spark, str(tmp_path / "bad"), k=0)
+
+    events = list(gen_events_local(SPEC, 120))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    apply_batch(lake, _events_df(spark, events[:60]), "g0", params=PARAMS)
+    store = WindowCountStore(spark, str(tmp_path / "wcs"), k=4)
+    store.refresh(lake)
+
+    c0 = lake.current_commit()["commit_seq"]
+    apply_batch(lake, _events_df(spark, events[60:]), "g1", params=PARAMS)
+    c1 = lake.current_commit()["commit_seq"]
+    # preimage-less feed -> loud error, not silent drift
+    no_pre = lake.changes(since=c0, until=c1)
+    with pytest.raises(ValueError, match="include_preimages"):
+        update_window_counts(store.read(), no_pre, k=4)
+    # the marked feed passes the guard; assume_preimages bypasses it
+    # for hand-built frames
+    with_pre = lake.changes(since=c0, until=c1, include_preimages=True)
+    update_window_counts(store.read(), with_pre, k=4)
+    update_window_counts(store.read(), no_pre.limit(0), k=4, assume_preimages=True)
+
+    # generation GC: a frame read before a refresh survives it
+    held = store.read()
+    store.refresh(lake)
+    held.count()  # predecessor directory must still exist
+    assert store.refresh(lake)["applied"] is False
