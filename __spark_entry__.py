@@ -1361,6 +1361,54 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_outbox_route(spark, sf):
+    """Transactional-outbox event routing (Debezium Outbox Event Router
+    semantics): Debezium envelopes of the ``outbox`` table → domain
+    events. Inserts only (cleanup deletes/updates are not events),
+    destination derived as ``outbox.event.<aggregatetype>``, redelivered
+    event ids deduped keep-lowest-seq. One from_json projection + one
+    high-cardinality window — no Python. The oracle restates all three
+    router rules from the same fixture with DuckDB JSON functions."""
+    from chunker_spark.cdc.outbox import outbox_fixture_path, route_outbox
+
+    raw = spark.read.parquet(outbox_fixture_path())
+    return route_outbox(raw).select(
+        "event_id", "destination", "aggregate_id", "event_type", "seq", "payload"
+    )
+
+
+def _sql_outbox_route() -> str:
+    from chunker_spark.cdc.outbox import outbox_fixture_path
+
+    path = outbox_fixture_path()  # ensure the fixture exists for DuckDB
+    return f"""
+WITH raw AS (SELECT value FROM read_parquet('{path}')),
+parsed AS (
+  SELECT json_extract_string(value, '$.after.id') AS event_id,
+         'outbox.event.' || json_extract_string(value, '$.after.aggregatetype') AS destination,
+         json_extract_string(value, '$.after.aggregateid') AS aggregate_id,
+         json_extract_string(value, '$.after.type') AS event_type,
+         CAST(json_extract_string(value, '$.source.lsn') AS BIGINT) AS seq,
+         json_extract_string(value, '$.after.payload') AS payload
+  FROM raw
+  WHERE json_valid(value)
+    AND json_extract_string(value, '$.op') = 'c'
+    AND json_extract_string(value, '$.source.table') = 'outbox'
+),
+kept AS (
+  SELECT * FROM parsed
+  WHERE event_id IS NOT NULL AND aggregate_id IS NOT NULL
+    AND destination IS NOT NULL AND seq IS NOT NULL
+),
+deduped AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY seq ASC) AS rn
+  FROM kept
+)
+SELECT event_id, destination, aggregate_id, event_type, seq, payload
+FROM deduped WHERE rn = 1
+"""
+
+
 def q_maxwell_parse(spark, sf):
     """Maxwell wire-format ingestion across a binlog ROTATION: JSON
     envelopes → EVENT_SCHEMA with seq packed as file_ordinal*2^40+offset
@@ -3541,6 +3589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dms_parse": q_dms_parse,
         "mongo_parse": q_mongo_parse,
         "goldengate_parse": q_goldengate_parse,
+        "outbox_route": q_outbox_route,
         "txn_gate_release": q_txn_gate_release,
         "orders_reconcile": q_orders_reconcile,
         "events_asof_click": q_events_asof_click,
@@ -3627,6 +3676,7 @@ def oracle_sql() -> dict[str, str]:
         "dms_parse": _sql_dms_parse(),
         "mongo_parse": _sql_mongo_parse(),
         "goldengate_parse": _sql_goldengate_parse(),
+        "outbox_route": _sql_outbox_route(),
         "txn_gate_release": _sql_txn_gate_release(),
         "orders_reconcile": SQL_ORDERS_RECONCILE,
         "events_asof_click": SQL_EVENTS_ASOF_CLICK,
