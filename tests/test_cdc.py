@@ -147,6 +147,50 @@ def test_streaming_resume_after_kill(spark, tmp_path):
     assert len(ids) == 6  # one commit per segment batch, no duplicates
 
 
+def test_resume_survives_parallelism_and_trigger_change(spark, tmp_path):
+    """Resume from the same checkpoint on a DIFFERENT cluster shape:
+    shuffle parallelism doubled and the trigger re-cut (1 file/batch →
+    3 files/batch). The north-star deployment resizes between N and 4N
+    executors; nothing in the checkpoint, ledger, or lake layout may
+    depend on the old partitioning or the old batch boundaries. The
+    in-flight batch is re-delivered at its ORIGINAL offsets (Spark
+    replays the uncommitted epoch as recorded), so the idempotency gate
+    no-ops it; the remaining log re-cuts under the new trigger size."""
+    events = list(gen_events_local(SPEC, N_EVENTS))
+    seg_dir = str(tmp_path / "segments")
+    write_segments(spark, SPEC, N_EVENTS, seg_dir, n_segments=6)
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+
+    crashing = IngestStream(
+        spark, lake, seg_dir, ckpt, params=PARAMS, max_files_per_trigger=1, fail_after_batches=2
+    )
+    with pytest.raises(Exception):
+        crashing.run_available()
+    assert len(lake._commit_files()) >= 1
+
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(old_shuffle) * 2))
+    try:
+        resumed = IngestStream(
+            spark, lake, seg_dir, ckpt, params=PARAMS, max_files_per_trigger=3
+        )
+        resumed.run_available()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    _assert_state_equals_oracle(spark, lake, events)
+    import json
+
+    ids = [
+        json.load(open(p))["batch_id"]
+        for p in sorted(glob.glob(f"{lake.root}/meta/commit-*.json"))
+    ]
+    assert len(ids) == len(set(ids))  # nothing applied twice
+    # fewer commits than the 6 a 1-file/batch run makes: the tail of the
+    # log really was re-cut under the larger trigger, not replayed 1:1
+    assert len(ids) < 6
+
+
 def test_continuous_trigger_soak(spark, tmp_path):
     """Long-lived tail soak: >=50 micro-batches on a processing-time
     trigger with in-stream expiry. Asserts the unbounded-growth
