@@ -1409,6 +1409,55 @@ FROM deduped WHERE rn = 1
 """
 
 
+def q_dblog_snapshot(spark, sf):
+    """Chunk-interleaved snapshot of a live table (DBLog watermark
+    algorithm, Netflix arXiv:2010.12597): snapshot chunks selected
+    WHILE the change log keeps flowing, each annotated with its
+    (lw, hw) watermark pair; keys changed inside a chunk's window are
+    dropped from the chunk (stale copies), survivors are positioned at
+    hw, and LWW resolution converges to the true source state. The
+    oracle is genuinely independent: it replays initial-state + the
+    full change log by seq (plain LWW, no watermarks, never reads the
+    chunks), so equality verifies the algorithm instead of restating
+    it — a broken window-drop leaves a stale snapshot row as a key's
+    final content."""
+    from chunker_spark.cdc.dblog import (
+        dblog_fixture_paths,
+        interleave_snapshot,
+        resolve_final_state,
+    )
+
+    p = dblog_fixture_paths()
+    stream = interleave_snapshot(
+        spark.read.parquet(p["changes"]),
+        spark.read.parquet(p["chunks"]),
+        ["repo", "path"],
+    )
+    return resolve_final_state(stream, ["repo", "path"]).select(
+        "repo", "path", "content"
+    )
+
+
+def _sql_dblog_snapshot() -> str:
+    from chunker_spark.cdc.dblog import dblog_fixture_paths
+
+    p = dblog_fixture_paths()  # ensure the fixture exists for DuckDB
+    return f"""
+WITH unioned AS (
+  SELECT repo, path, content, 0 AS seq, 'c' AS op
+  FROM read_parquet('{p["initial"]}')
+  UNION ALL
+  SELECT repo, path, content, seq, op FROM read_parquet('{p["changes"]}')
+),
+last AS (
+  SELECT repo, path, content, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM unioned
+)
+SELECT repo, path, content FROM last WHERE rn = 1 AND op <> 'd'
+"""
+
+
 def q_maxwell_parse(spark, sf):
     """Maxwell wire-format ingestion across a binlog ROTATION: JSON
     envelopes → EVENT_SCHEMA with seq packed as file_ordinal*2^40+offset
@@ -3590,6 +3639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mongo_parse": q_mongo_parse,
         "goldengate_parse": q_goldengate_parse,
         "outbox_route": q_outbox_route,
+        "dblog_snapshot": q_dblog_snapshot,
         "txn_gate_release": q_txn_gate_release,
         "orders_reconcile": q_orders_reconcile,
         "events_asof_click": q_events_asof_click,
@@ -3677,6 +3727,7 @@ def oracle_sql() -> dict[str, str]:
         "mongo_parse": _sql_mongo_parse(),
         "goldengate_parse": _sql_goldengate_parse(),
         "outbox_route": _sql_outbox_route(),
+        "dblog_snapshot": _sql_dblog_snapshot(),
         "txn_gate_release": _sql_txn_gate_release(),
         "orders_reconcile": SQL_ORDERS_RECONCILE,
         "events_asof_click": SQL_EVENTS_ASOF_CLICK,
