@@ -1458,6 +1458,60 @@ SELECT repo, path, content FROM last WHERE rn = 1 AND op <> 'd'
 """
 
 
+def q_toast_fill(spark, sf):
+    """Unchanged-TOAST placeholder resolution (Debezium's
+    ``__debezium_unavailable_value``): Postgres omits unchanged TOAST
+    columns from the WAL, so update after-images carry a sentinel that
+    would corrupt the lake on merge. One keyed LOCF window resolves
+    each placeholder to the key's previous row version — honest NULLs
+    carry (struct-wrapped), deletes fence incarnations (a value never
+    leaks across a delete + re-insert), unresolvable placeholders go
+    NULL with a loud per-row counter. Single hash Exchange, no Python
+    (plan-asserted). The oracle restates segment + carry + fence with
+    DuckDB's IGNORE NULLS windows from the same fixture."""
+    from chunker_spark.cdc.toast import fill_unavailable, toast_fixture_path
+
+    df = spark.read.parquet(toast_fixture_path())
+    return fill_unavailable(df, ["repo", "path"], ["content", "meta"]).select(
+        "repo", "path", "seq", "op", "content", "meta", "toast_unresolved"
+    )
+
+
+def _sql_toast_fill() -> str:
+    from chunker_spark.cdc.toast import DEBEZIUM_UNAVAILABLE, toast_fixture_path
+
+    path = toast_fixture_path()  # ensure the fixture exists for DuckDB
+    ph = DEBEZIUM_UNAVAILABLE
+    carry = (
+        "last_value(CASE WHEN op <> 'd' AND ({c} IS NULL OR {c} <> '" + ph + "') "
+        "THEN struct_pack(s := seg, v := {c}) END IGNORE NULLS) OVER "
+        "(PARTITION BY repo, path ORDER BY seq "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+WITH raw AS (SELECT * FROM read_parquet('{path}')),
+segd AS (
+  SELECT *, sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) OVER
+      (PARTITION BY repo, path ORDER BY seq
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM raw
+),
+carried AS (
+  SELECT *, {carry.format(c="content")} AS lc, {carry.format(c="meta")} AS lm
+  FROM segd
+)
+SELECT repo, path, seq, op,
+  CASE WHEN content = '{ph}' THEN (CASE WHEN lc.s = seg THEN lc.v END)
+       ELSE content END AS content,
+  CASE WHEN meta = '{ph}' THEN (CASE WHEN lm.s = seg THEN lm.v END)
+       ELSE meta END AS meta,
+  (CASE WHEN content = '{ph}' AND (lc IS NULL OR lc.s <> seg) THEN 1 ELSE 0 END
+   + CASE WHEN meta = '{ph}' AND (lm IS NULL OR lm.s <> seg) THEN 1 ELSE 0 END)
+  AS toast_unresolved
+FROM carried
+"""
+
+
 def q_maxwell_parse(spark, sf):
     """Maxwell wire-format ingestion across a binlog ROTATION: JSON
     envelopes → EVENT_SCHEMA with seq packed as file_ordinal*2^40+offset
@@ -3640,6 +3694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "goldengate_parse": q_goldengate_parse,
         "outbox_route": q_outbox_route,
         "dblog_snapshot": q_dblog_snapshot,
+        "toast_fill": q_toast_fill,
         "txn_gate_release": q_txn_gate_release,
         "orders_reconcile": q_orders_reconcile,
         "events_asof_click": q_events_asof_click,
@@ -3728,6 +3783,7 @@ def oracle_sql() -> dict[str, str]:
         "goldengate_parse": _sql_goldengate_parse(),
         "outbox_route": _sql_outbox_route(),
         "dblog_snapshot": _sql_dblog_snapshot(),
+        "toast_fill": _sql_toast_fill(),
         "txn_gate_release": _sql_txn_gate_release(),
         "orders_reconcile": SQL_ORDERS_RECONCILE,
         "events_asof_click": SQL_EVENTS_ASOF_CLICK,

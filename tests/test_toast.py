@@ -1,0 +1,125 @@
+"""Unchanged-TOAST placeholder fill: planted-case fixture, randomized
+equivalence against a pure-Python resolver, and the single-Exchange
+plan audit."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from chunker_spark.cdc.toast import (
+    DEBEZIUM_UNAVAILABLE as PH,
+    fill_unavailable,
+    toast_fixture_path,
+)
+
+KEYS = ["repo", "path"]
+
+
+def _filled(spark, df, cols=("content", "meta")):
+    out = fill_unavailable(df, KEYS, list(cols))
+    return {
+        (r["repo"], r["path"], r["seq"]): tuple(
+            [r[c] for c in cols] + [r["toast_unresolved"]]
+        )
+        for r in out.collect()
+    }
+
+
+def test_planted_cases(spark):
+    got = _filled(spark, spark.read.parquet(toast_fixture_path()))
+
+    def k(i, seq):
+        return (f"repo-{i % 2}", f"src/f{i:03d}.py", seq)
+
+    # chain of placeholders resolves to the last real write
+    assert got[k(0, 2)] == ("body-v1:0", "m2:0", 0)
+    assert got[k(0, 3)] == ("body-v1:0", "m2:0", 0)
+    assert got[k(0, 9)] == ("body-v9:0", "m2:0", 0)
+    # honest NULL carries: the placeholder resolves to NULL, resolved
+    assert got[k(1, 3)] == (None, "m2:1", 0)
+    # delete fences: fills from the re-insert, not the old incarnation
+    assert got[k(2, 4)] == ("new-incarnation:2", "m4:2", 0)
+    # placeholder after delete with no re-insert: unresolvable, loud
+    assert got[k(3, 3)] == (None, "m3:3", 1)
+    # stream tailed mid-history: first event already a placeholder
+    assert got[k(4, 5)] == (None, "m5:4", 1)
+    # alternating staleness across two columns
+    assert got[k(5, 2)] == ("body-v1:5", "m2:5", 0)
+    assert got[k(5, 3)] == ("body-v3:5", "m2:5", 0)
+    assert got[k(5, 4)] == ("body-v3:5", "m4:5", 0)
+    # non-placeholder rows pass through untouched
+    assert got[k(0, 1)] == ("body-v1:0", "m1:0", 0)
+
+
+def _python_truth(rows):
+    """{(key, seq): (content, unresolved)} by direct per-key replay."""
+    out, last, seg = {}, {}, {}
+    for key, seq, op, v in sorted(rows):
+        s = seg.get(key, 0)
+        if op == "d":
+            s += 1
+            seg[key] = s
+            out[(key, seq)] = (v, 0)
+            continue
+        if v == PH:
+            carried = last.get(key)
+            if carried is not None and carried[0] == s:
+                out[(key, seq)] = (carried[1], 0)
+            else:
+                out[(key, seq)] = (None, 1)
+        else:
+            last[key] = (s, v)
+            out[(key, seq)] = (v, 0)
+    return out
+
+
+def test_randomized_equivalence(spark):
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(25):
+            key = f"k{i}"
+            for seq in range(1, 1 + rng.randint(3, 14)):
+                op = rng.choices(["c", "u", "d"], weights=[2, 6, 1])[0]
+                v = (
+                    None
+                    if op == "d"
+                    else rng.choice([PH, PH, f"v{seq}:{key}", None])
+                )
+                rows.append((key, seq, op, v))
+        df = spark.createDataFrame(
+            [("r", k, s, op, v) for k, s, op, v in rows],
+            "repo string, path string, seq long, op string, content string",
+        )
+        got = {
+            (r["path"], r["seq"]): (r["content"], r["toast_unresolved"])
+            for r in fill_unavailable(df, KEYS, ["content"]).collect()
+            if r["op"] != "d"
+        }
+        ops = {(k, s): op for k, s, op, _ in rows}
+        truth = {
+            ks: v for ks, v in _python_truth(rows).items() if ops[ks] != "d"
+        }
+        assert got == truth, seed
+
+
+def test_single_exchange_plan(spark):
+    """Segment counter + every column's carry ride one window spec:
+    exactly ONE hash Exchange on the key, no Python."""
+    df = spark.read.parquet(toast_fixture_path())
+    out = fill_unavailable(df, KEYS, ["content", "meta"])
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = out._jdf.queryExecution().explainString(jmode)
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_input_validation(spark):
+    df = spark.read.parquet(toast_fixture_path())
+    with pytest.raises(ValueError, match="missing column"):
+        fill_unavailable(df.drop("op"), KEYS, ["content"])
+    with pytest.raises(ValueError, match="string-typed"):
+        fill_unavailable(
+            df.withColumn("n", F.lit(1)), KEYS, ["n"]
+        )
