@@ -1512,6 +1512,52 @@ FROM carried
 """
 
 
+def q_pk_rename(spark, sf):
+    """Primary-key-change splitting: an UPDATE that changes the key (a
+    git file RENAME for this engine's (repo, path) keys) must become
+    tombstone(old key) + upsert(new key), or the lake keeps a phantom
+    row at the old key forever. split_key_changes packs the pair as
+    2*seq / 2*seq+1 (order-preserving, no schema change downstream) and
+    handles PARTIAL old images (Maxwell's `old` carries only changed
+    columns). Map-only: zero Exchange, no Python (plan-asserted). The
+    query resolves the split stream to its final state; the oracle
+    restates split + LWW in DuckDB from the same fixture — a missing
+    split leaves b.py/c.py/gone.py phantoms and the row set differs."""
+    from chunker_spark.cdc.dblog import resolve_final_state
+    from chunker_spark.cdc.keychange import rename_fixture_path, split_key_changes
+
+    df = spark.read.parquet(rename_fixture_path())
+    split = split_key_changes(df, ["repo", "path"])
+    return resolve_final_state(split, ["repo", "path"], out_seq_col="seq").select(
+        "repo", "path", "content"
+    )
+
+
+def _sql_pk_rename() -> str:
+    from chunker_spark.cdc.keychange import rename_fixture_path
+
+    path = rename_fixture_path()  # ensure the fixture exists for DuckDB
+    return f"""
+WITH raw AS (SELECT * FROM read_parquet('{path}')),
+split AS (
+  SELECT repo, path, seq * 2 + 1 AS s, op, content FROM raw
+  UNION ALL
+  SELECT coalesce(old_repo, repo), coalesce(old_path, path), seq * 2,
+         'd', NULL
+  FROM raw
+  WHERE op <> 'd'
+    AND (old_repo IS NOT NULL OR old_path IS NOT NULL)
+    AND (coalesce(old_repo, repo) IS DISTINCT FROM repo
+         OR coalesce(old_path, path) IS DISTINCT FROM path)
+),
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY s DESC) AS rn
+  FROM split
+)
+SELECT repo, path, content FROM last WHERE rn = 1 AND op <> 'd'
+"""
+
+
 def q_maxwell_parse(spark, sf):
     """Maxwell wire-format ingestion across a binlog ROTATION: JSON
     envelopes → EVENT_SCHEMA with seq packed as file_ordinal*2^40+offset
@@ -3695,6 +3741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outbox_route": q_outbox_route,
         "dblog_snapshot": q_dblog_snapshot,
         "toast_fill": q_toast_fill,
+        "pk_rename": q_pk_rename,
         "txn_gate_release": q_txn_gate_release,
         "orders_reconcile": q_orders_reconcile,
         "events_asof_click": q_events_asof_click,
@@ -3784,6 +3831,7 @@ def oracle_sql() -> dict[str, str]:
         "outbox_route": _sql_outbox_route(),
         "dblog_snapshot": _sql_dblog_snapshot(),
         "toast_fill": _sql_toast_fill(),
+        "pk_rename": _sql_pk_rename(),
         "txn_gate_release": _sql_txn_gate_release(),
         "orders_reconcile": SQL_ORDERS_RECONCILE,
         "events_asof_click": SQL_EVENTS_ASOF_CLICK,
