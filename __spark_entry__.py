@@ -2084,6 +2084,61 @@ def q_orders_reconcile(spark, sf):
     )
 
 
+def q_orders_repair(spark, sf):
+    """Repair plan from the nightly audit (closing orders_reconcile's
+    loop): the same deterministically perturbed sink — keys %97 dropped,
+    %101 repriced, %103 duplicated under shifted keys — diffed against
+    the source, then turned into corrective CDC events: UPSERTS carrying
+    the source payload for only_left+mismatch, DELETES for only_right.
+    Source payloads are fetched only for repair keys (left-semi after
+    the fixed-width digest diff). The oracle derives the plan DIRECTLY
+    from the perturbation predicates (%97 or %101 upserts, shifted-key
+    deletes) — no diff machinery — so a wrong diff class or a lost
+    repair row mismatches."""
+    from chunker_spark.ops.audit import repair_events
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    sink = (
+        o.where(key % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 101 == 0, F.col("o_totalprice") + F.lit(1.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            o.where(key % 103 == 0).withColumn(
+                "o_orderkey", key + F.lit(1_000_000_000)
+            )
+        )
+    )
+    return repair_events(
+        o, sink, ["o_orderkey"], ["o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+
+
+SQL_ORDERS_REPAIR = """
+WITH ups AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'u' AS op
+  FROM orders
+  WHERE o_orderkey % 97 = 0 OR o_orderkey % 101 = 0
+),
+dels AS (
+  SELECT o_orderkey + 1000000000 AS o_orderkey,
+         CAST(NULL AS BIGINT) AS o_custkey,
+         CAST(NULL AS VARCHAR) AS o_orderstatus,
+         CAST(NULL AS DOUBLE) AS o_totalprice,
+         'd' AS op
+  FROM orders
+  WHERE o_orderkey % 103 = 0
+)
+SELECT * FROM ups UNION ALL SELECT * FROM dels
+"""
+
+
 SQL_ORDERS_RECONCILE = """
 WITH r AS (
   SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -3744,6 +3799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_rename": q_pk_rename,
         "txn_gate_release": q_txn_gate_release,
         "orders_reconcile": q_orders_reconcile,
+        "orders_repair": q_orders_repair,
         "events_asof_click": q_events_asof_click,
         "events_asof_next": q_events_asof_next,
         "events_value_tiers": q_events_value_tiers,
@@ -3834,6 +3890,7 @@ def oracle_sql() -> dict[str, str]:
         "pk_rename": _sql_pk_rename(),
         "txn_gate_release": _sql_txn_gate_release(),
         "orders_reconcile": SQL_ORDERS_RECONCILE,
+        "orders_repair": SQL_ORDERS_REPAIR,
         "events_asof_click": SQL_EVENTS_ASOF_CLICK,
         "events_asof_next": SQL_EVENTS_ASOF_NEXT,
         "events_value_tiers": SQL_EVENTS_VALUE_TIERS,

@@ -117,3 +117,50 @@ def reconcile_summary(
         for k in ("equal", "mismatch", "only_left", "only_right")
     ]
     return j.agg(*agg)
+
+
+def repair_events(
+    source: DataFrame,
+    sink: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Corrective CDC events that make ``sink`` equal ``source`` (on
+    ``compare_cols``): the day-2 closing of the audit loop — diff,
+    repair, re-audit clean.
+
+    * ``only_left`` (sink lost the row) and ``mismatch`` (columns
+      drifted) become UPSERTS carrying the source payload;
+    * ``only_right`` (sink has a row the source doesn't) becomes a
+      DELETE with null payload.
+
+    Applying the returned frame to the sink with the engine's keyed
+    LWW merge (each key appears at most once — the diff is keyed)
+    yields digest parity; ``reconcile_summary`` after the repair reads
+    all-equal (property-tested).
+
+    Scale shape: the diff is the fixed-width join of ``table_diff``;
+    source payloads are then fetched ONLY for the repair keys via a
+    left-semi join — at a healthy steady state the repair set is tiny
+    relative to the table and AQE turns that semi join into a broadcast
+    on its own (no forced hint here: after a catastrophic divergence
+    the repair set is the table, and a forced broadcast would be the
+    bug, not the fix).
+    """
+    d = table_diff(source, sink, key_cols, compare_cols)
+    ups_keys = d.where(
+        F.col("diff_kind").isin("only_left", "mismatch")
+    ).select(*key_cols)
+    ups = source.join(ups_keys, key_cols, "left_semi").select(
+        *key_cols, *compare_cols, F.lit("u").alias(op_col)
+    )
+    dels = d.where(F.col("diff_kind") == "only_right").select(
+        *key_cols,
+        *[
+            F.lit(None).cast(source.schema[c].dataType).alias(c)
+            for c in compare_cols
+        ],
+        F.lit("d").alias(op_col),
+    )
+    return ups.unionByName(dels)

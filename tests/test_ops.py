@@ -918,6 +918,40 @@ def test_table_diff_classes_and_null_canonicalization(spark):
         table_diff(left, right, ["k"], ["k", "v"])
 
 
+def test_repair_events_close_the_audit_loop(spark):
+    """repair_events: upserts for only_left+mismatch (source payload),
+    deletes for only_right; applying the plan to the sink makes
+    reconcile_summary read all-equal — the audit loop closes."""
+    from chunker_spark.ops.audit import reconcile_summary, repair_events
+
+    source = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    sink = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "STALE", 20.0), (5, "e", 50.0)],
+        "k int, s string, v double",
+    )
+    plan = repair_events(source, sink, ["k"], ["s", "v"])
+    got = {r.k: (r.op, r.s, r.v) for r in plan.collect()}
+    assert got == {
+        2: ("u", "b", 20.0),   # mismatch -> source payload
+        4: ("u", "d", 40.0),   # only_left -> restore
+        5: ("d", None, None),  # only_right -> delete
+    }
+
+    # apply the plan (keyed LWW semantics: plan rows replace sink rows)
+    from pyspark.sql import functions as F
+
+    keys = plan.select("k")
+    repaired = (
+        sink.join(keys, ["k"], "left_anti")
+        .unionByName(plan.where(F.col("op") == "u").drop("op"))
+    )
+    s = reconcile_summary(source, repaired, ["k"], ["s", "v"]).collect()[0]
+    assert (s.equal, s.mismatch, s.only_left, s.only_right) == (3, 0, 0, 0)
+
+
 def test_resample_locf_and_lerp_edges(spark):
     """Hand-computable grid: observations at t=0,100,250 (step 100) ->
     grid {0,100,200}; exact-on-grid instants return the observation in
