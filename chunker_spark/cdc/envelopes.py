@@ -304,6 +304,7 @@ def parse_wal2json(
     value_col: str = "value",
     keep_raw: bool = False,
     with_txn: bool = False,
+    with_old_keys: bool = False,
 ) -> DataFrame:
     """wal2json (Postgres, format-version 2) JSON lines -> EVENT_SCHEMA.
 
@@ -323,6 +324,13 @@ def parse_wal2json(
     ``txn_id`` (wal2json ``include-xids=true``; null when the producer
     does not emit xids) — the column the transaction-atomic gate
     (``cdc.txn.TxnGate``) keys on.
+
+    ``with_old_keys=True`` appends ``old_repo``/``old_path`` from the
+    UPDATE old-image (``identity`` — under REPLICA IDENTITY DEFAULT
+    wal2json puts exactly the old primary key there), null on non-U
+    rows. This is the feed for ``keychange.split_key_changes``: a
+    key-changing update (a git file rename) otherwise merges as a new
+    row and leaves the old key dangling.
     """
     parsed = raw.withColumn("_env", F.from_json(F.col(value_col), _WAL2JSON_SCHEMA))
     env = F.col("_env")
@@ -346,6 +354,11 @@ def parse_wal2json(
     extra = [env["table"].alias("src_table")]
     if with_txn:
         extra.append(env["xid"].alias("txn_id"))
+    if with_old_keys:
+        old = to_map(env["identity"])
+        is_u = env["action"] == "U"
+        extra.append(F.when(is_u, _row_field(old, "repo")).alias("old_repo"))
+        extra.append(F.when(is_u, _row_field(old, "path")).alias("old_path"))
     if keep_raw:
         extra.append(F.col(value_col).alias("_raw"))
     return _project_event(parsed, op, seq, ts, img, extra)

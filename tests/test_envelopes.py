@@ -1288,3 +1288,59 @@ def test_streaming_txn_atomic_ingest(spark, tmp_path):
     with _pytest.raises(ValueError, match="txn_atomic"):
         IngestStream(spark, lake, str(log_dir), str(tmp_path / "ckpt3"),
                      params=params, wire_format="debezium", txn_atomic=True)
+
+
+def test_wal2json_old_keys_feed_rename_split(spark):
+    """End-to-end rename over the real wire: wal2json U envelopes carry
+    the OLD primary key in ``identity`` (REPLICA IDENTITY DEFAULT);
+    with_old_keys=True surfaces it as old_repo/old_path, and
+    split_key_changes turns the rename into tombstone(old)+upsert(new)
+    so the final state has no phantom row at the old path."""
+    import json as _json
+
+    from chunker_spark.cdc.dblog import resolve_final_state
+    from chunker_spark.cdc.envelopes import parse_wal2json
+    from chunker_spark.cdc.keychange import split_key_changes
+
+    def u(lsn, cols, ident):
+        return _json.dumps({
+            "action": "U", "lsn": lsn, "table": "files",
+            "columns": [{"name": k, "value": v} for k, v in cols.items()],
+            "identity": [{"name": k, "value": v} for k, v in ident.items()],
+        })
+
+    lines = [
+        _json.dumps({
+            "action": "I", "lsn": "0/10", "table": "files",
+            "columns": [{"name": "repo", "value": "r"},
+                        {"name": "path", "value": "a.py"},
+                        {"name": "content", "value": "v1"}],
+        }),
+        # plain update: identity == new key, must NOT split
+        u("0/20", {"repo": "r", "path": "a.py", "content": "v2"},
+          {"repo": "r", "path": "a.py"}),
+        # rename a.py -> b.py: identity carries the old key
+        u("0/30", {"repo": "r", "path": "b.py", "content": "v2"},
+          {"repo": "r", "path": "a.py"}),
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    events = parse_wal2json(raw, with_old_keys=True)
+    split = split_key_changes(
+        events.select("repo", "path", "old_repo", "old_path", "seq", "op", "content"),
+        ["repo", "path"],
+    )
+    final = {
+        (r["repo"], r["path"]): r["content"]
+        for r in resolve_final_state(split, ["repo", "path"], out_seq_col="seq").collect()
+    }
+    assert final == {("r", "b.py"): "v2"}  # no phantom a.py
+
+    # without the split, the phantom row survives — the trap is real
+    naive = {
+        (r["repo"], r["path"])
+        for r in resolve_final_state(
+            events.withColumn("out_seq", events["seq"]), ["repo", "path"],
+            out_seq_col="out_seq",
+        ).collect()
+    }
+    assert ("r", "a.py") in naive
