@@ -42,6 +42,7 @@ def split_key_changes(
     old_prefix: str = "old_",
     seq_col: str = "seq",
     op_col: str = "op",
+    delete_op: str = "d",
     drop_old_cols: bool = True,
 ) -> DataFrame:
     """Rewrite key-changing updates into tombstone(old) + upsert(new).
@@ -51,7 +52,9 @@ def split_key_changes(
     image or the key did not change). A row "changes key" when ANY old
     key column is non-null and the full old key differs from the new
     key (null-safe comparison); deletes never split — their key IS the
-    old key. The synthesized tombstone carries null payload columns.
+    old key. The synthesized tombstone carries null payload columns and
+    ``delete_op`` as its op (``"d"`` for Debezium-style streams; pass
+    ``"D"`` to feed the engine's typed event schema).
 
     Output: same schema (minus the ``old_*`` columns when
     ``drop_old_cols``) with ``seq`` re-packed as ``2*seq + 1`` for
@@ -69,7 +72,7 @@ def split_key_changes(
     for k, ok in zip(key_cols, old_cols):
         any_old = any_old | F.col(ok).isNotNull()
         differs = differs | ~F.coalesce(F.col(ok), F.col(k)).eqNullSafe(F.col(k))
-    splits = (F.col(op_col) != "d") & any_old & differs
+    splits = (F.col(op_col) != delete_op) & any_old & differs
 
     seq = F.col(seq_col).cast("long")
     checked = F.when(
@@ -95,7 +98,7 @@ def split_key_changes(
     tomb = events.where(splits).select(
         *[F.coalesce(F.col(ok), F.col(k)).alias(k) for k, ok in zip(key_cols, old_cols)],
         (checked * 2).alias(seq_col),
-        F.lit("d").alias(op_col),
+        F.lit(delete_op).alias(op_col),
         *[F.lit(None).cast(events.schema[c].dataType).alias(c) for c in payload],
         *(
             []

@@ -74,6 +74,8 @@ class IngestStream:
         kafka_topic: str | None = None,
         kafka_options: dict | None = None,  # kafka_reader_options kwargs passthrough
         txn_atomic: bool = False,  # never apply a torn source transaction (wal2json)
+        parser_kwargs: dict | None = None,  # extra wire-parser kwargs (e.g. with_old_keys)
+        event_transform=None,  # Callable[[DataFrame], DataFrame] on typed events pre-merge
     ) -> None:
         self.spark = spark
         self.lake = lake
@@ -124,6 +126,19 @@ class IngestStream:
                 )
             if not (kafka_bootstrap_servers and kafka_topic):
                 raise ValueError("source='kafka' requires kafka_bootstrap_servers and kafka_topic")
+        if parser_kwargs and not wire_format:
+            raise ValueError("parser_kwargs requires wire_format")
+        self.parser_kwargs = dict(parser_kwargs or {})
+        # Per-batch hook on the TYPED event frame, after parse/DLQ/txn
+        # gate and before the merge — the seam for event-shape fixes
+        # that belong upstream of LWW: cdc.toast.fill_unavailable
+        # (unchanged-TOAST placeholders) and cdc.keychange.
+        # split_key_changes (renames; pair with
+        # parser_kwargs={'with_old_keys': True} on wal2json). The
+        # transform must keep the event columns the schema normalizer
+        # reads and may re-pack seq monotonically (split_key_changes'
+        # 2*seq packing keeps LWW order within and across batches).
+        self.event_transform = event_transform
         self.source = source
         self.kafka_bootstrap_servers = kafka_bootstrap_servers
         self.kafka_topic = kafka_topic
@@ -202,10 +217,13 @@ class IngestStream:
 
             parser = WIRE_PARSERS[self.wire_format]
             raw = df
+            kw = dict(self.parser_kwargs)
             if self.txn_atomic:
+                kw["with_txn"] = True
+            if kw:
                 import functools
 
-                parser = functools.partial(parser, with_txn=True)
+                parser = functools.partial(parser, **kw)
             df, dlq = split_malformed(df, parser=parser)
             # DLQ lands BEFORE the lake commit, in a per-batch
             # directory with idempotent overwrite: a crash between
@@ -242,6 +260,8 @@ class IngestStream:
                 df = self._txn_gate.gate(
                     df, wal2json_commits(raw), batch_id
                 ).drop("txn_id")
+        if self.event_transform is not None:
+            df = self.event_transform(df)
         commit = apply_batch(
             self.lake, df, batch_id, params=self.params,
             collect_metrics=self.collect_metrics,

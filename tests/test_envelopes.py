@@ -1344,3 +1344,75 @@ def test_wal2json_old_keys_feed_rename_split(spark):
         ).collect()
     }
     assert ("r", "a.py") in naive
+
+
+def test_streaming_rename_split_through_ingest(spark, tmp_path):
+    """The full production wiring for renames over the wal2json wire:
+    parser_kwargs={'with_old_keys': True} surfaces the identity
+    old-image, event_transform=split_key_changes rewrites the rename
+    into tombstone+upsert INSIDE the micro-batch, and the lake's final
+    state has no phantom row at the old path — exactly-once semantics
+    (ledger no-op on redelivery) unchanged."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from chunker_spark.cdc import LakeTable
+    from chunker_spark.cdc.keychange import split_key_changes
+    from chunker_spark.cdc.streaming import IngestStream
+    from chunker_spark.kernel import ChunkerParams
+
+    def wj(action, lsn, path, content=None, old_path=None):
+        body = {"action": action, "lsn": lsn, "table": "files"}
+        cols = [{"name": "repo", "value": "r"},
+                {"name": "path", "value": path},
+                {"name": "commit", "value": lsn},
+                {"name": "content", "value": content}]
+        if action == "D":
+            body["identity"] = [{"name": "repo", "value": "r"},
+                                {"name": "path", "value": path}]
+        else:
+            body["columns"] = cols
+        if action == "U":
+            body["identity"] = [{"name": "repo", "value": "r"},
+                                {"name": "path", "value": old_path or path}]
+        return _json.dumps(body)
+
+    log_dir = tmp_path / "wj-log"
+    log_dir.mkdir()
+    (log_dir / "seg-0.jsonl").write_text("\n".join([
+        wj("I", "0/100", "a.sql", "va\n"),
+        wj("I", "0/200", "keep.sql", "vk\n"),
+    ]) + "\n")
+    (log_dir / "seg-1.jsonl").write_text("\n".join([
+        # rename a.sql -> b.sql, then an ordinary in-place update
+        wj("U", "1/100", "b.sql", "va\n", old_path="a.sql"),
+        wj("U", "1/200", "keep.sql", "vk2\n", old_path="keep.sql"),
+    ]) + "\n")
+
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    params = ChunkerParams(average_bits=6, min_size=64, max_size=256)
+
+    def run():
+        IngestStream(
+            spark, lake, str(log_dir), str(tmp_path / "ckpt"), params=params,
+            wire_format="wal2json",
+            parser_kwargs={"with_old_keys": True},
+            event_transform=lambda df: split_key_changes(
+                df, ["repo", "path"], delete_op="D"
+            ),
+        ).run_available()
+
+    run()
+    state = {r.path: r.content for r in lake.read().collect()}
+    assert state == {"b.sql": "va\n", "keep.sql": "vk2\n"}  # no phantom a.sql
+    n = len(lake.committed_batch_ids())
+    run()  # redelivery: ledger no-op
+    assert len(lake.committed_batch_ids()) == n
+
+    # parser_kwargs without a wire format is a loud config error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="parser_kwargs requires wire_format"):
+        IngestStream(spark, lake, str(log_dir), str(tmp_path / "ckpt2"),
+                     params=params, parser_kwargs={"with_old_keys": True})
