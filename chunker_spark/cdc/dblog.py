@@ -229,6 +229,7 @@ def dblog_fixture_paths(base: str = "/tmp/chunker_spark_fixtures") -> dict:
         (60, "u", 41, "v60:41"),  # post-hw update
         (65, "u", 0, "v65:0"),    # late update of a chunk-0 key
     ]
+    script.sort()  # state_at() replays in seq order and early-breaks
     seqs = [s for s, *_ in script]
     assert len(set(seqs)) == len(seqs), "fixture seqs must be unique"
     assert not set(seqs) & {10, 15, 30, 36, 50, 55}, "watermark seqs are reserved"

@@ -94,6 +94,10 @@ _MAXWELL_SCHEMA = StructType(
         StructField("position", StringType(), True),
         StructField("table", StringType(), True),
         StructField("data", MapType(StringType(), StringType()), True),
+        # UPDATE old-image: only the CHANGED columns' previous values
+        # (Maxwell contract) — the partial shape split_key_changes
+        # coalesces component-wise
+        StructField("old", MapType(StringType(), StringType()), True),
     ]
 )
 
@@ -275,7 +279,12 @@ def parse_debezium(raw: DataFrame, value_col: str = "value", keep_raw: bool = Fa
     return _project_event(parsed, op, seq, ts, img, extra)
 
 
-def parse_maxwell(raw: DataFrame, value_col: str = "value", keep_raw: bool = False) -> DataFrame:
+def parse_maxwell(
+    raw: DataFrame,
+    value_col: str = "value",
+    keep_raw: bool = False,
+    with_old_keys: bool = False,
+) -> DataFrame:
     """Maxwell JSON envelope column -> EVENT_SCHEMA rows.
 
     ``position`` is a binlog coordinate string like
@@ -283,6 +292,12 @@ def parse_maxwell(raw: DataFrame, value_col: str = "value", keep_raw: bool = Fal
     offset (``ordinal * 2^40 + offset``) because offsets reset on log
     rotation — see ``_packed_binlog_seq``. A bare-offset position (no
     file part) packs as ordinal 0, i.e. the raw offset.
+
+    ``with_old_keys=True`` appends ``old_repo``/``old_path`` from the
+    update ``old`` object. Maxwell's ``old`` carries only the CHANGED
+    columns' previous values, so an unchanged key component surfaces as
+    null — exactly the partial old image ``keychange.split_key_changes``
+    coalesces component-wise.
     """
     parsed = raw.withColumn("_env", F.from_json(F.col(value_col), _MAXWELL_SCHEMA))
     env = F.col("_env")
@@ -294,6 +309,10 @@ def parse_maxwell(raw: DataFrame, value_col: str = "value", keep_raw: bool = Fal
     )
     ts = F.timestamp_seconds(env["ts"])
     extra = [env["table"].alias("src_table")]
+    if with_old_keys:
+        is_u = env["type"] == "update"
+        extra.append(F.when(is_u, _row_field(env["old"], "repo")).alias("old_repo"))
+        extra.append(F.when(is_u, _row_field(env["old"], "path")).alias("old_path"))
     if keep_raw:
         extra.append(F.col(value_col).alias("_raw"))
     return _project_event(parsed, op, seq, ts, img, extra)
@@ -394,7 +413,12 @@ def wal2json_commits(raw: DataFrame, value_col: str = "value") -> DataFrame:
 CANAL_PACK_SHIFT = 20
 
 
-def parse_canal(raw: DataFrame, value_col: str = "value", keep_raw: bool = False) -> DataFrame:
+def parse_canal(
+    raw: DataFrame,
+    value_col: str = "value",
+    keep_raw: bool = False,
+    with_old_keys: bool = False,
+) -> DataFrame:
     """Canal FlatMessage JSON envelopes -> EVENT_SCHEMA rows.
 
     The one multi-row dialect: each message carries a ``data`` ARRAY of
@@ -425,6 +449,15 @@ def parse_canal(raw: DataFrame, value_col: str = "value", keep_raw: bool = False
     )
     ts = F.timestamp_millis(env["es"])
     extra = [env["table"].alias("src_table")]
+    if with_old_keys:
+        # ``old`` is an array PARALLEL to ``data`` (same index = same
+        # row), carrying only the changed columns' previous values.
+        # F.get (0-based, null on any invalid index — ANSI-safe, unlike
+        # element_at) picks the exploded row's own old image.
+        oldmap = F.get(env["old"], F.col("_pos"))
+        is_u = env["type"] == "UPDATE"
+        extra.append(F.when(is_u, _row_field(oldmap, "repo")).alias("old_repo"))
+        extra.append(F.when(is_u, _row_field(oldmap, "path")).alias("old_path"))
     if keep_raw:
         extra.append(F.col(value_col).alias("_raw"))
     return _project_event(parsed, op, seq, ts, F.col("_img"), extra)

@@ -1416,3 +1416,65 @@ def test_streaming_rename_split_through_ingest(spark, tmp_path):
     with _pytest.raises(ValueError, match="parser_kwargs requires wire_format"):
         IngestStream(spark, lake, str(log_dir), str(tmp_path / "ckpt2"),
                      params=params, parser_kwargs={"with_old_keys": True})
+
+
+def test_maxwell_and_canal_old_keys_for_rename_split(spark):
+    """Old-image surfacing parity across the MySQL dialects: Maxwell's
+    `old` object and Canal's `old` array (parallel to `data`, per
+    exploded row) both land as old_repo/old_path on U rows — partial
+    (changed-columns-only) images included — and feed the same
+    split_key_changes -> resolve pipeline."""
+    import json as _json
+
+    from chunker_spark.cdc.dblog import resolve_final_state
+    from chunker_spark.cdc.envelopes import parse_canal, parse_maxwell
+    from chunker_spark.cdc.keychange import split_key_changes
+
+    def resolve(events):
+        split = split_key_changes(
+            events.select("repo", "path", "old_repo", "old_path", "seq", "op", "content"),
+            ["repo", "path"],
+        )
+        return {
+            (r["repo"], r["path"]): r["content"]
+            for r in resolve_final_state(split, ["repo", "path"], out_seq_col="seq").collect()
+        }
+
+    # Maxwell: old carries only the CHANGED columns (path here)
+    mx = [
+        _json.dumps({"type": "insert", "ts": 1, "position": "mysql-bin.000001:10",
+                     "table": "files",
+                     "data": {"repo": "r", "path": "a.py", "content": "v1"}}),
+        _json.dumps({"type": "update", "ts": 2, "position": "mysql-bin.000001:20",
+                     "table": "files",
+                     "data": {"repo": "r", "path": "b.py", "content": "v1"},
+                     "old": {"path": "a.py"}}),
+        _json.dumps({"type": "update", "ts": 3, "position": "mysql-bin.000001:30",
+                     "table": "files",
+                     "data": {"repo": "r", "path": "b.py", "content": "v2"},
+                     "old": {"content": "v1"}}),  # content-only old: no split
+    ]
+    events = parse_maxwell(
+        spark.createDataFrame([(l,) for l in mx], "value string"),
+        with_old_keys=True,
+    )
+    assert resolve(events) == {("r", "b.py"): "v2"}
+
+    # Canal: one multi-row UPDATE message; row 0 renames, row 1 doesn't
+    cn = [
+        _json.dumps({"id": 1, "database": "d", "table": "files", "type": "INSERT",
+                     "isDdl": False, "es": 1000, "ts": 1100,
+                     "data": [{"repo": "r", "path": "a.py", "content": "v1"},
+                              {"repo": "r", "path": "k.py", "content": "vk"}],
+                     "old": None}),
+        _json.dumps({"id": 2, "database": "d", "table": "files", "type": "UPDATE",
+                     "isDdl": False, "es": 2000, "ts": 2100,
+                     "data": [{"repo": "r", "path": "b.py", "content": "v1"},
+                              {"repo": "r", "path": "k.py", "content": "vk2"}],
+                     "old": [{"path": "a.py"}, {"content": "vk"}]}),
+    ]
+    events = parse_canal(
+        spark.createDataFrame([(l,) for l in cn], "value string"),
+        with_old_keys=True,
+    )
+    assert resolve(events) == {("r", "b.py"): "v1", ("r", "k.py"): "vk2"}
