@@ -577,7 +577,12 @@ def parse_mongo(raw: DataFrame, value_col: str = "value", keep_raw: bool = False
 GOLDENGATE_PACK_SHIFT = 32
 
 
-def parse_goldengate(raw: DataFrame, value_col: str = "value", keep_raw: bool = False) -> DataFrame:
+def parse_goldengate(
+    raw: DataFrame,
+    value_col: str = "value",
+    keep_raw: bool = False,
+    with_old_keys: bool = False,
+) -> DataFrame:
     """Oracle GoldenGate (Big Data Kafka handler, JSON op format) ->
     EVENT_SCHEMA rows.
 
@@ -615,6 +620,12 @@ def parse_goldengate(raw: DataFrame, value_col: str = "value", keep_raw: bool = 
     )
     ts = F.try_to_timestamp(env["op_ts"])
     extra = [env["table"].alias("src_table")]
+    if with_old_keys:
+        # U rows carry the FULL before image when the handler includes
+        # it — the old key for keychange.split_key_changes
+        is_u = env["op_type"] == "U"
+        extra.append(F.when(is_u, _row_field(env["before"], "repo")).alias("old_repo"))
+        extra.append(F.when(is_u, _row_field(env["before"], "path")).alias("old_path"))
     if keep_raw:
         extra.append(F.col(value_col).alias("_raw"))
     return _project_event(parsed, op, seq, ts, img, extra)

@@ -1478,3 +1478,43 @@ def test_maxwell_and_canal_old_keys_for_rename_split(spark):
         with_old_keys=True,
     )
     assert resolve(events) == {("r", "b.py"): "v1", ("r", "k.py"): "vk2"}
+
+
+def test_goldengate_old_keys_for_rename_split(spark):
+    """GoldenGate U rows carry the FULL before image; with_old_keys
+    surfaces its repo/path and the rename splits like every other
+    old-image dialect."""
+    import json as _json
+
+    from chunker_spark.cdc.dblog import resolve_final_state
+    from chunker_spark.cdc.envelopes import parse_goldengate
+    from chunker_spark.cdc.keychange import split_key_changes
+
+    def gg(op, pos, after=None, before=None):
+        return _json.dumps({
+            "table": "S.FILES", "op_type": op,
+            "op_ts": "2024-03-01 00:00:00.000000",
+            "pos": pos, **({"after": after} if after else {}),
+            **({"before": before} if before else {}),
+        })
+
+    lines = [
+        gg("I", "00000000080000001000",
+           after={"repo": "r", "path": "a.py", "content": "v1"}),
+        gg("U", "00000000080000002000",
+           after={"repo": "r", "path": "b.py", "content": "v1"},
+           before={"repo": "r", "path": "a.py", "content": "v1"}),
+    ]
+    events = parse_goldengate(
+        spark.createDataFrame([(l,) for l in lines], "value string"),
+        with_old_keys=True,
+    )
+    split = split_key_changes(
+        events.select("repo", "path", "old_repo", "old_path", "seq", "op", "content"),
+        ["repo", "path"],
+    )
+    final = {
+        (r["repo"], r["path"]): r["content"]
+        for r in resolve_final_state(split, ["repo", "path"], out_seq_col="seq").collect()
+    }
+    assert final == {("r", "b.py"): "v1"}
