@@ -249,7 +249,12 @@ def _project_event(parsed: DataFrame, op, seq, ts, img, extra=()) -> DataFrame:
     )
 
 
-def parse_debezium(raw: DataFrame, value_col: str = "value", keep_raw: bool = False) -> DataFrame:
+def parse_debezium(
+    raw: DataFrame,
+    value_col: str = "value",
+    keep_raw: bool = False,
+    with_old_keys: bool = False,
+) -> DataFrame:
     """Debezium JSON envelope column -> EVENT_SCHEMA rows.
 
     ``seq`` is taken from ``source.lsn`` (Postgres: already monotonic).
@@ -260,6 +265,12 @@ def parse_debezium(raw: DataFrame, value_col: str = "value", keep_raw: bool = Fa
     their row image in ``before``; everything else in ``after``.
     ``keep_raw`` appends the original payload as ``_raw`` (for the DLQ
     split).
+
+    ``with_old_keys=True`` appends ``old_repo``/``old_path`` from the
+    update ``before`` image (present under REPLICA IDENTITY FULL /
+    MySQL binlog_row_image=FULL). Defensive parity only: Debezium
+    normally splits PK-changing updates into DELETE+INSERT at the
+    source, so this matters for producers configured otherwise.
     """
     parsed = raw.withColumn("_env", F.from_json(F.col(value_col), _DEBEZIUM_SCHEMA))
     env = F.col("_env")
@@ -274,6 +285,10 @@ def parse_debezium(raw: DataFrame, value_col: str = "value", keep_raw: bool = Fa
     )
     ts = F.timestamp_millis(env["ts_ms"])
     extra = [F.element_at(env["source"], "table").alias("src_table")]
+    if with_old_keys:
+        is_u = env["op"] == "u"
+        extra.append(F.when(is_u, _row_field(env["before"], "repo")).alias("old_repo"))
+        extra.append(F.when(is_u, _row_field(env["before"], "path")).alias("old_path"))
     if keep_raw:
         extra.append(F.col(value_col).alias("_raw"))
     return _project_event(parsed, op, seq, ts, img, extra)

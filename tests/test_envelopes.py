@@ -1518,3 +1518,40 @@ def test_goldengate_old_keys_for_rename_split(spark):
         for r in resolve_final_state(split, ["repo", "path"], out_seq_col="seq").collect()
     }
     assert final == {("r", "b.py"): "v1"}
+
+
+def test_debezium_old_keys_for_rename_split(spark):
+    """Debezium defensive parity: producers that do NOT split
+    PK-changing updates (non-default) still resolve correctly when the
+    update before-image is surfaced and split consumer-side."""
+    import json as _json
+
+    from chunker_spark.cdc.dblog import resolve_final_state
+    from chunker_spark.cdc.envelopes import parse_debezium
+    from chunker_spark.cdc.keychange import split_key_changes
+
+    def dbz(op, lsn, after=None, before=None):
+        return _json.dumps({
+            "op": op, "ts_ms": 1700000000000 + lsn,
+            "before": before, "after": after,
+            "source": {"lsn": str(lsn), "db": "d", "table": "files"},
+        })
+
+    lines = [
+        dbz("c", 1, after={"repo": "r", "path": "a.py", "content": "v1"}),
+        dbz("u", 2, after={"repo": "r", "path": "b.py", "content": "v1"},
+            before={"repo": "r", "path": "a.py", "content": "v1"}),
+    ]
+    events = parse_debezium(
+        spark.createDataFrame([(l,) for l in lines], "value string"),
+        with_old_keys=True,
+    )
+    split = split_key_changes(
+        events.select("repo", "path", "old_repo", "old_path", "seq", "op", "content"),
+        ["repo", "path"],
+    )
+    final = {
+        (r["repo"], r["path"]): r["content"]
+        for r in resolve_final_state(split, ["repo", "path"], out_seq_col="seq").collect()
+    }
+    assert final == {("r", "b.py"): "v1"}
