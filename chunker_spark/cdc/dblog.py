@@ -107,6 +107,20 @@ def interleave_snapshot(
     if missing:
         raise ValueError(f"chunks is missing payload columns {missing}")
 
+    # the doubling uses one extra bit — same loud guard as
+    # keychange.split_key_changes, never a silent sign wrap
+    from .keychange import MAX_SEQ
+
+    def checked(col):
+        longcol = col.cast("long")
+        return F.when(
+            F.assert_true(
+                longcol < MAX_SEQ,
+                F.lit("interleave_snapshot: seq >= 2^62 cannot double-pack"),
+            ).isNull(),
+            longcol,
+        )
+
     # Window-drop: anti join on the key with the residual watermark
     # range — the change side carries ONLY (key, seq), so change
     # payloads never shuffle here.
@@ -122,14 +136,14 @@ def interleave_snapshot(
         *key_cols,
         *payload,
         F.lit("r").alias(op_col),
-        (F.col(hw_col).cast("long") * 2 - 1).alias(OUT_SEQ),
+        (checked(F.col(hw_col)) * 2 - 1).alias(OUT_SEQ),
         F.lit("snapshot").alias(SRC),
     )
     log = changes.select(
         *key_cols,
         *payload,
         F.col(op_col),
-        (F.col(seq_col).cast("long") * 2).alias(OUT_SEQ),
+        (checked(F.col(seq_col)) * 2).alias(OUT_SEQ),
         F.lit("log").alias(SRC),
     )
     return log.unionByName(snap)
@@ -141,16 +155,21 @@ def resolve_final_state(
     *,
     op_col: str = "op",
     out_seq_col: str = OUT_SEQ,
+    delete_op: str = "d",
 ) -> DataFrame:
     """Last-writer-wins over ``out_seq`` per key, tombstones dropped —
     the sink state the interleaved stream converges to. ``out_seq`` is
     unique per key by construction (log seqs are unique, chunk rows sit
     at odd positions, and PK-chunking puts each key in at most one
-    chunk), so the window needs no tiebreak."""
+    chunk), so the window needs no tiebreak.
+
+    ``delete_op`` names the tombstone op code (``"d"`` Debezium-style,
+    ``"D"`` for the engine's typed event schema) — a wrong code
+    resurrects every deleted key as its final state."""
     w = Window.partitionBy(*key_cols).orderBy(F.col(out_seq_col).desc())
     return (
         stream.withColumn("_dbl_rn", F.row_number().over(w))
-        .where((F.col("_dbl_rn") == 1) & (F.col(op_col) != "d"))
+        .where((F.col("_dbl_rn") == 1) & (F.col(op_col) != delete_op))
         .drop("_dbl_rn", out_seq_col, SRC, op_col)
     )
 

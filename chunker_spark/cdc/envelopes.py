@@ -231,6 +231,17 @@ def _row_field(img, name: str):
     return F.element_at(img, name)
 
 
+def _old_key_extra(old_img, is_u):
+    """The ``with_old_keys`` projection, stated once for every dialect:
+    the update old-image's key components land as ``old_repo``/
+    ``old_path`` (null on non-U rows and absent components — partial
+    images coalesce inside ``keychange.split_key_changes``)."""
+    return [
+        F.when(is_u, _row_field(old_img, "repo")).alias("old_repo"),
+        F.when(is_u, _row_field(old_img, "path")).alias("old_path"),
+    ]
+
+
 def _project_event(parsed: DataFrame, op, seq, ts, img, extra=()) -> DataFrame:
     """Common projection from a parsed envelope to EVENT_SCHEMA order."""
     return parsed.select(
@@ -286,9 +297,7 @@ def parse_debezium(
     ts = F.timestamp_millis(env["ts_ms"])
     extra = [F.element_at(env["source"], "table").alias("src_table")]
     if with_old_keys:
-        is_u = env["op"] == "u"
-        extra.append(F.when(is_u, _row_field(env["before"], "repo")).alias("old_repo"))
-        extra.append(F.when(is_u, _row_field(env["before"], "path")).alias("old_path"))
+        extra.extend(_old_key_extra(env["before"], env["op"] == "u"))
     if keep_raw:
         extra.append(F.col(value_col).alias("_raw"))
     return _project_event(parsed, op, seq, ts, img, extra)
@@ -325,9 +334,7 @@ def parse_maxwell(
     ts = F.timestamp_seconds(env["ts"])
     extra = [env["table"].alias("src_table")]
     if with_old_keys:
-        is_u = env["type"] == "update"
-        extra.append(F.when(is_u, _row_field(env["old"], "repo")).alias("old_repo"))
-        extra.append(F.when(is_u, _row_field(env["old"], "path")).alias("old_path"))
+        extra.extend(_old_key_extra(env["old"], env["type"] == "update"))
     if keep_raw:
         extra.append(F.col(value_col).alias("_raw"))
     return _project_event(parsed, op, seq, ts, img, extra)
@@ -389,10 +396,7 @@ def parse_wal2json(
     if with_txn:
         extra.append(env["xid"].alias("txn_id"))
     if with_old_keys:
-        old = to_map(env["identity"])
-        is_u = env["action"] == "U"
-        extra.append(F.when(is_u, _row_field(old, "repo")).alias("old_repo"))
-        extra.append(F.when(is_u, _row_field(old, "path")).alias("old_path"))
+        extra.extend(_old_key_extra(to_map(env["identity"]), env["action"] == "U"))
     if keep_raw:
         extra.append(F.col(value_col).alias("_raw"))
     return _project_event(parsed, op, seq, ts, img, extra)
@@ -470,9 +474,7 @@ def parse_canal(
         # F.get (0-based, null on any invalid index — ANSI-safe, unlike
         # element_at) picks the exploded row's own old image.
         oldmap = F.get(env["old"], F.col("_pos"))
-        is_u = env["type"] == "UPDATE"
-        extra.append(F.when(is_u, _row_field(oldmap, "repo")).alias("old_repo"))
-        extra.append(F.when(is_u, _row_field(oldmap, "path")).alias("old_path"))
+        extra.extend(_old_key_extra(oldmap, env["type"] == "UPDATE"))
     if keep_raw:
         extra.append(F.col(value_col).alias("_raw"))
     return _project_event(parsed, op, seq, ts, F.col("_img"), extra)
@@ -638,9 +640,7 @@ def parse_goldengate(
     if with_old_keys:
         # U rows carry the FULL before image when the handler includes
         # it — the old key for keychange.split_key_changes
-        is_u = env["op_type"] == "U"
-        extra.append(F.when(is_u, _row_field(env["before"], "repo")).alias("old_repo"))
-        extra.append(F.when(is_u, _row_field(env["before"], "path")).alias("old_path"))
+        extra.extend(_old_key_extra(env["before"], env["op_type"] == "U"))
     if keep_raw:
         extra.append(F.col(value_col).alias("_raw"))
     return _project_event(parsed, op, seq, ts, img, extra)

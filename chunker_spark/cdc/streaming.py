@@ -128,6 +128,20 @@ class IngestStream:
                 raise ValueError("source='kafka' requires kafka_bootstrap_servers and kafka_topic")
         if parser_kwargs and not wire_format:
             raise ValueError("parser_kwargs requires wire_format")
+        if parser_kwargs:
+            # fail at CONSTRUCTION, not inside the first micro-batch:
+            # dialects differ (with_old_keys exists on 5 of 7 parsers)
+            import inspect
+
+            accepted = set(
+                inspect.signature(WIRE_PARSERS[wire_format]).parameters
+            )
+            unknown = sorted(set(parser_kwargs) - accepted)
+            if unknown:
+                raise ValueError(
+                    f"parser_kwargs {unknown} not accepted by the "
+                    f"{wire_format!r} parser (accepts {sorted(accepted)})"
+                )
         self.parser_kwargs = dict(parser_kwargs or {})
         # Per-batch hook on the TYPED event frame, after parse/DLQ/txn
         # gate and before the merge — the seam for event-shape fixes

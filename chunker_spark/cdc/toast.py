@@ -50,6 +50,7 @@ def fill_unavailable(
     *,
     seq_col: str = "seq",
     op_col: str = "op",
+    delete_op: str = "d",
     placeholder: str = DEBEZIUM_UNAVAILABLE,
 ) -> DataFrame:
     """Resolve placeholder values in ``value_cols`` from each key's
@@ -61,6 +62,12 @@ def fill_unavailable(
     placeholders that could not be resolved (0 on clean rows). Delete
     rows are never fill *sources* (their after-image is a tombstone,
     not a version) and are passed through unmodified.
+
+    ``delete_op`` names the tombstone op code — ``"d"`` for
+    Debezium-style streams, ``"D"`` when the frame is the engine's
+    typed event schema (the production wiring in docs/deploy_seams.md).
+    A wrong code here silently disables BOTH the delete fence and the
+    not-a-source rule, so it is load-bearing, not cosmetic.
     """
     for c in (*key_cols, seq_col, op_col, *value_cols):
         if c not in changes.columns:
@@ -81,7 +88,7 @@ def fill_unavailable(
         .orderBy(seq_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    seg = F.sum(F.when(F.col(op_col) == "d", 1).otherwise(0)).over(w)
+    seg = F.sum(F.when(F.col(op_col) == delete_op, 1).otherwise(0)).over(w)
 
     out = changes.withColumn("_toast_seg", seg)
     unresolved_flags = []
@@ -91,7 +98,7 @@ def fill_unavailable(
         # a "written" version: any non-placeholder value (honest NULLs
         # included) on a non-delete row — wrapped in a struct so the
         # carrier is non-null even when the value is
-        written = (F.col(op_col) != "d") & (val.isNull() | (val != placeholder))
+        written = (F.col(op_col) != delete_op) & (val.isNull() | (val != placeholder))
         carried = F.last(
             F.when(written, F.struct(F.col("_toast_seg").alias("s"), val.alias("v"))),
             ignorenulls=True,

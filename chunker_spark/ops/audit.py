@@ -125,6 +125,8 @@ def repair_events(
     key_cols: list[str],
     compare_cols: list[str],
     op_col: str = "op",
+    upsert_op: str = "u",
+    delete_op: str = "d",
 ) -> DataFrame:
     """Corrective CDC events that make ``sink`` equal ``source`` (on
     ``compare_cols``): the day-2 closing of the audit loop — diff,
@@ -138,7 +140,10 @@ def repair_events(
     Applying the returned frame to the sink with the engine's keyed
     LWW merge (each key appears at most once — the diff is keyed)
     yields digest parity; ``reconcile_summary`` after the repair reads
-    all-equal (property-tested).
+    all-equal (property-tested). The engine merge recognizes only
+    ``op == 'D'`` as a delete — pass ``upsert_op="U", delete_op="D"``
+    when feeding ``apply_batch``; the lowercase defaults suit
+    Debezium-style consumers and the DuckDB oracle.
 
     Scale shape: the diff is the fixed-width join of ``table_diff``;
     source payloads are then fetched ONLY for the repair keys via a
@@ -153,7 +158,7 @@ def repair_events(
         F.col("diff_kind").isin("only_left", "mismatch")
     ).select(*key_cols)
     ups = source.join(ups_keys, key_cols, "left_semi").select(
-        *key_cols, *compare_cols, F.lit("u").alias(op_col)
+        *key_cols, *compare_cols, F.lit(upsert_op).alias(op_col)
     )
     dels = d.where(F.col("diff_kind") == "only_right").select(
         *key_cols,
@@ -161,6 +166,6 @@ def repair_events(
             F.lit(None).cast(source.schema[c].dataType).alias(c)
             for c in compare_cols
         ],
-        F.lit("d").alias(op_col),
+        F.lit(delete_op).alias(op_col),
     )
     return ups.unionByName(dels)

@@ -173,3 +173,28 @@ def test_input_validation(spark):
         interleave_snapshot(changes, chunks.drop("hw_seq"), KEYS)
     with pytest.raises(ValueError, match="payload"):
         interleave_snapshot(changes, chunks.drop("content"), KEYS)
+
+
+def test_resolve_delete_op_code(spark):
+    """resolve_final_state(delete_op='D'): uppercase tombstones drop;
+    the lowercase default would resurrect the deleted key."""
+    stream = spark.createDataFrame(
+        [("r", "a", "U", 2, "v1"), ("r", "a", "D", 4, None)],
+        "repo string, path string, op string, out_seq long, content string",
+    )
+    assert resolve_final_state(stream, KEYS, delete_op="D").count() == 0
+    assert resolve_final_state(stream, KEYS).count() == 1  # wrong code: resurrect
+
+
+def test_interleave_seq_overflow_guard(spark):
+    import pytest
+
+    changes = spark.createDataFrame(
+        [("r", "a", 1 << 62, "c", "v")],
+        "repo string, path string, seq long, op string, content string",
+    )
+    chunks = spark.createDataFrame(
+        [], "repo string, path string, lw_seq long, hw_seq long, content string"
+    )
+    with pytest.raises(Exception, match="cannot double-pack"):
+        interleave_snapshot(changes, chunks, KEYS).collect()

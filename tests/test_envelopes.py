@@ -1555,3 +1555,18 @@ def test_debezium_old_keys_for_rename_split(spark):
         for r in resolve_final_state(split, ["repo", "path"], out_seq_col="seq").collect()
     }
     assert final == {("r", "b.py"): "v1"}
+
+
+def test_parser_kwargs_validated_at_construction(spark, tmp_path):
+    """Unknown parser kwargs fail at IngestStream construction with the
+    accepted-parameter list — not as a TypeError inside the first
+    micro-batch."""
+    import pytest as _pytest
+
+    from chunker_spark.cdc import LakeTable
+    from chunker_spark.cdc.streaming import IngestStream
+
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    with _pytest.raises(ValueError, match="not accepted by the 'dms' parser"):
+        IngestStream(spark, lake, str(tmp_path), str(tmp_path / "ckpt"),
+                     wire_format="dms", parser_kwargs={"with_old_keys": True})

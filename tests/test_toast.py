@@ -123,3 +123,33 @@ def test_input_validation(spark):
         fill_unavailable(
             df.withColumn("n", F.lit(1)), KEYS, ["n"]
         )
+
+
+def test_delete_op_code_matches_typed_event_schema(spark):
+    """The engine's typed events use I/U/D — with delete_op='D' the
+    delete fence and the not-a-source rule hold; with the lowercase
+    default they would silently break on this frame (the review trap
+    this parameter exists for)."""
+    df = spark.createDataFrame(
+        [
+            ("r", "a", 1, "I", "v1"),
+            ("r", "a", 2, "D", "v1"),   # delete row carries a before-image
+            ("r", "a", 3, "U", PH),     # placeholder after delete, no re-insert
+        ],
+        "repo string, path string, seq long, op string, content string",
+    )
+    out = {
+        r["seq"]: (r["content"], r["toast_unresolved"])
+        for r in fill_unavailable(
+            df, KEYS, ["content"], delete_op="D"
+        ).collect()
+    }
+    # the pre-delete v1 (and the delete row's own image) must NOT fill
+    assert out[3] == (None, 1)
+
+    # the wrong code is the documented failure: fence off, v1 leaks
+    leaked = {
+        r["seq"]: (r["content"], r["toast_unresolved"])
+        for r in fill_unavailable(df, KEYS, ["content"]).collect()
+    }
+    assert leaked[3] == ("v1", 0)
