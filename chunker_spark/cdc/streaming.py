@@ -76,6 +76,7 @@ class IngestStream:
         txn_atomic: bool = False,  # never apply a torn source transaction (wal2json)
         parser_kwargs: dict | None = None,  # extra wire-parser kwargs (e.g. with_old_keys)
         event_transform=None,  # Callable[[DataFrame], DataFrame] on typed events pre-merge
+        toast_value_cols: list[str] | None = None,  # two-stage sentinel fill + quarantine
     ) -> None:
         self.spark = spark
         self.lake = lake
@@ -153,6 +154,17 @@ class IngestStream:
         # reads and may re-pack seq monotonically (split_key_changes'
         # 2*seq packing keeps LWW order within and across batches).
         self.event_transform = event_transform
+        # Unchanged-TOAST hygiene, engine-orchestrated (the composition
+        # is too subtle to leave to event_transform — see cdc/toast.py):
+        # (1) batch-local LOCF fill (delete-fenced, typed op codes);
+        # (2) fill_from_state for placeholders whose previous version
+        #     was merged in an EARLIER batch (read pruned to the
+        #     flagged keys' buckets; old keys looked up for renames);
+        # (3) rows still unresolved are QUARANTINED next to the DLQ and
+        #     excluded from the merge — never a fabricated NULL, never
+        #     a sentinel in the lake. Costs ~3 extra Spark actions per
+        #     batch when enabled; opt-in.
+        self.toast_value_cols = list(toast_value_cols or [])
         self.source = source
         self.kafka_bootstrap_servers = kafka_bootstrap_servers
         self.kafka_topic = kafka_topic
@@ -274,6 +286,8 @@ class IngestStream:
                 df = self._txn_gate.gate(
                     df, wal2json_commits(raw), batch_id
                 ).drop("txn_id")
+        if self.toast_value_cols:
+            df = self._toast_fill(df, batch_id)
         if self.event_transform is not None:
             df = self.event_transform(df)
         commit = apply_batch(
@@ -291,6 +305,65 @@ class IngestStream:
             # records the batch in the checkpoint commit log — the worst
             # case for exactly-once: the batch will be re-delivered.
             raise RuntimeError("injected crash after lake commit")
+
+    def _toast_fill(self, df, batch_id: int):
+        """Two-stage sentinel resolution + quarantine (see __init__)."""
+        from pyspark.sql import functions as F
+
+        from .lake import bucket_expr, resolve_state
+        from .schema import KEY_COLS
+        from .toast import fill_from_state, fill_unavailable
+
+        cols = self.toast_value_cols
+        keys = list(KEY_COLS)
+        old = "old_" if all(f"old_{k}" in df.columns for k in keys) else None
+
+        df = fill_unavailable(df, keys, cols, delete_op="D", keep_marks=True)
+        # the frame is re-used three times below (flag probe, state
+        # join, merge input) — pin it once instead of re-parsing
+        df = df.localCheckpoint(eager=True)
+
+        lookup_keys = df.where(F.col("toast_unresolved") > 0).select(
+            *[
+                (F.coalesce(F.col(f"{old}{k}"), F.col(k)) if old else F.col(k)).alias(k)
+                for k in keys
+            ]
+        ).distinct()
+        buckets = sorted(
+            r["b"]
+            for r in lookup_keys.select(
+                bucket_expr(self.lake.num_buckets).alias("b")
+            ).distinct().collect()
+        )
+        if buckets:
+            # no forced broadcast: flagged keys are few at steady state
+            # (AQE broadcasts them on its own) but a placeholder flood
+            # after a bulk import must not transit the driver
+            state = resolve_state(
+                self.lake.read_files(buckets=buckets).join(
+                    lookup_keys, keys, "left_semi"
+                )
+            ).select(*keys, *cols)
+            df = fill_from_state(
+                df, state, keys, cols, old_prefix=old, keep_marks=True
+            )
+            quarantine = df.where(F.col("toast_unresolved") > 0)
+            qdir = (
+                f"{self.lake.root}/dlq/toast/ingest_run={self.ingest_run_id}"
+                f"/batch_id={batch_id}"
+            )
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            quarantine.observe(obs, F.count(F.lit(1)).alias("n")).coalesce(
+                1
+            ).write.mode("overwrite").parquet(qdir)
+            if not obs.get["n"]:
+                import shutil
+
+                shutil.rmtree(qdir, ignore_errors=True)
+            df = df.where(F.col("toast_unresolved") == 0)
+        return df.drop("toast_unresolved", *[f"_toast_un_{c}" for c in cols])
 
     def _build_stream(self):
         os.makedirs(self.checkpoint_dir, exist_ok=True)

@@ -52,6 +52,7 @@ def fill_unavailable(
     op_col: str = "op",
     delete_op: str = "d",
     placeholder: str = DEBEZIUM_UNAVAILABLE,
+    keep_marks: bool = False,
 ) -> DataFrame:
     """Resolve placeholder values in ``value_cols`` from each key's
     previous row version (same delete-fenced incarnation).
@@ -118,9 +119,12 @@ def fill_unavailable(
     total = unresolved_flags[0]
     for f_ in unresolved_flags[1:]:
         total = total + f_
-    return out.withColumn("toast_unresolved", total).drop(
-        "_toast_seg", *[f"_toast_un_{c}" for c in value_cols]
-    )
+    out = out.withColumn("toast_unresolved", total).drop("_toast_seg")
+    if keep_marks:
+        # per-column ``_toast_un_<c>`` markers stay for a downstream
+        # fill_from_state pass (it must know WHICH columns to fill)
+        return out
+    return out.drop(*[f"_toast_un_{c}" for c in value_cols])
 
 
 def toast_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:
@@ -189,3 +193,77 @@ def toast_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+def fill_from_state(
+    batch: DataFrame,
+    state: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    *,
+    old_prefix: str | None = None,
+    keep_marks: bool = False,
+) -> DataFrame:
+    """Second-stage placeholder resolution: fill the columns a
+    batch-local LOCF could NOT resolve from the sink's CURRENT state.
+
+    Why this exists: ``fill_unavailable`` only sees one micro-batch. A
+    placeholder whose previous row version was merged in an EARLIER
+    batch — the common case in steady-state CDC — has no in-batch
+    history, and nulling it would corrupt the lake at merge. The
+    previous version, however, already lives in the sink; this pass
+    joins the still-marked rows against it. With ``old_prefix`` the
+    lookup key coalesces the row's ``old_<k>`` components first, so a
+    RENAME row's unchanged-TOAST column resolves from the old key's
+    state (in Postgres a rename UPDATE toasts the content by
+    definition — the column did not change).
+
+    Contract: ``batch`` carries the per-column ``_toast_un_<c>`` marks
+    (run ``fill_unavailable(..., keep_marks=True)`` first), and
+    ``state`` has at most ONE row per key (a resolved sink state — a
+    duplicate key would multiply batch rows). Rows that neither pass
+    resolves keep their marks — route them to a quarantine instead of
+    merging a fabricated NULL (``IngestStream(toast_value_cols=...)``
+    does exactly that).
+
+    Scale shape: one equi join of |batch| against the state restricted
+    to the looked-up keys (the caller prunes; ``IngestStream`` reads
+    only the touched buckets semi-joined to the flagged keys). No
+    Python, no window.
+    """
+    for c in value_cols:
+        if f"_toast_un_{c}" not in batch.columns:
+            raise ValueError(
+                f"batch is missing mark column '_toast_un_{c}' — run "
+                f"fill_unavailable(..., keep_marks=True) first"
+            )
+    lookup = [
+        F.coalesce(F.col(f"{old_prefix}{k}"), F.col(k)) if old_prefix else F.col(k)
+        for k in key_cols
+    ]
+    slim = state.select(
+        *[F.col(k).alias(f"_st_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_st_{c}") for c in value_cols],
+        F.lit(1).alias("_st_hit"),
+    )
+    cond = lookup[0] == slim[f"_st_{key_cols[0]}"]
+    for lk, k in zip(lookup[1:], key_cols[1:]):
+        cond = cond & (lk == slim[f"_st_{k}"])
+    j = batch.join(slim, cond, "left")
+
+    hit = F.col("_st_hit") == 1
+    out = j
+    for c in value_cols:
+        mark = F.col(f"_toast_un_{c}") == 1
+        out = out.withColumn(
+            c, F.when(mark & hit, F.col(f"_st_{c}")).otherwise(F.col(c))
+        ).withColumn(f"_toast_un_{c}", F.when(mark & hit, 0).otherwise(F.col(f"_toast_un_{c}")))
+    total = F.col(f"_toast_un_{value_cols[0]}")
+    for c in value_cols[1:]:
+        total = total + F.col(f"_toast_un_{c}")
+    out = out.withColumn("toast_unresolved", total).drop(
+        "_st_hit", *[f"_st_{k}" for k in key_cols], *[f"_st_{c}" for c in value_cols]
+    )
+    if keep_marks:
+        return out
+    return out.drop(*[f"_toast_un_{c}" for c in value_cols])

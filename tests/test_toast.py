@@ -153,3 +153,114 @@ def test_delete_op_code_matches_typed_event_schema(spark):
         for r in fill_unavailable(df, KEYS, ["content"]).collect()
     }
     assert leaked[3] == ("v1", 0)
+
+
+def test_fill_from_state_cross_batch_and_rename(spark):
+    """Second-stage fill: placeholders with no in-batch history resolve
+    from the sink's current state — under the OLD key for renames —
+    and a key absent from state keeps its mark (quarantine candidate)."""
+    from chunker_spark.cdc.toast import fill_from_state
+
+    batch = spark.createDataFrame(
+        [
+            # plain cross-batch placeholder (key exists in state)
+            ("r", "a", None, None, 10, "U", PH),
+            # rename: previous version lives under the OLD key
+            ("r", "b2", None, "b", 11, "U", PH),
+            # unresolvable: nowhere in batch or state
+            ("r", "ghost", None, None, 12, "U", PH),
+            # untouched clean row
+            ("r", "c", None, None, 13, "U", "v13"),
+        ],
+        "repo string, path string, old_repo string, old_path string, "
+        "seq long, op string, content string",
+    )
+    state = spark.createDataFrame(
+        [("r", "a", "state-a"), ("r", "b", "state-b")],
+        "repo string, path string, content string",
+    )
+    local = fill_unavailable(
+        batch, KEYS, ["content"], delete_op="D", keep_marks=True
+    )
+    out = {
+        r["path"]: (r["content"], r["toast_unresolved"])
+        for r in fill_from_state(
+            local, state, KEYS, ["content"], old_prefix="old_"
+        ).collect()
+    }
+    assert out["a"] == ("state-a", 0)
+    assert out["b2"] == ("state-b", 0)   # resolved across the rename
+    assert out["ghost"] == (None, 1)     # still marked, loudly
+    assert out["c"] == ("v13", 0)
+
+    with pytest.raises(ValueError, match="keep_marks"):
+        fill_from_state(batch, state, KEYS, ["content"])
+
+
+def test_streaming_toast_fill_cross_batch_with_quarantine(spark, tmp_path):
+    """IngestStream(toast_value_cols=['content']): a placeholder whose
+    previous version was merged in an EARLIER batch resolves from the
+    lake state (old key for the rename), and a genuinely unresolvable
+    placeholder row is quarantined under dlq/toast instead of merging a
+    fabricated NULL."""
+    import glob as _glob
+    import json as _json
+
+    from chunker_spark.cdc import LakeTable
+    from chunker_spark.cdc.keychange import split_key_changes
+    from chunker_spark.cdc.streaming import IngestStream
+    from chunker_spark.kernel import ChunkerParams
+
+    def wj(action, lsn, path, content=None, old_path=None):
+        body = {"action": action, "lsn": lsn, "table": "files"}
+        if action == "D":
+            body["identity"] = [{"name": "repo", "value": "r"},
+                                {"name": "path", "value": path}]
+        else:
+            body["columns"] = [{"name": "repo", "value": "r"},
+                               {"name": "path", "value": path},
+                               {"name": "content", "value": content}]
+        if action == "U":
+            body["identity"] = [{"name": "repo", "value": "r"},
+                                {"name": "path", "value": old_path or path}]
+        return _json.dumps(body)
+
+    log_dir = tmp_path / "wal"
+    log_dir.mkdir()
+    # batch 1: three inserts (merged into the lake first)
+    (log_dir / "seg-0.jsonl").write_text("\n".join([
+        wj("I", "0/100", "a.sql", "va\n"),
+        wj("I", "0/200", "b.sql", "vb\n"),
+        wj("I", "0/300", "keep.sql", "vk\n"),
+    ]) + "\n")
+    # batch 2: cross-batch placeholder update; rename with placeholder
+    # (content TOAST'd because it did not change); unresolvable ghost
+    (log_dir / "seg-1.jsonl").write_text("\n".join([
+        wj("U", "1/100", "a.sql", PH),
+        wj("U", "1/200", "b2.sql", PH, old_path="b.sql"),
+        wj("U", "1/300", "ghost.sql", PH),
+    ]) + "\n")
+
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    IngestStream(
+        spark, lake, str(log_dir), str(tmp_path / "ckpt"),
+        params=ChunkerParams(average_bits=6, min_size=64, max_size=256),
+        wire_format="wal2json", max_files_per_trigger=1,
+        parser_kwargs={"with_old_keys": True},
+        toast_value_cols=["content"],
+        event_transform=lambda df: split_key_changes(
+            df, ["repo", "path"], delete_op="D"
+        ),
+    ).run_available()
+
+    state = {r.path: r.content for r in lake.read().collect()}
+    assert state == {
+        "a.sql": "va\n",      # cross-batch placeholder resolved
+        "b2.sql": "vb\n",     # rename + placeholder resolved via old key
+        "keep.sql": "vk\n",
+    }
+    assert "ghost.sql" not in state  # never merged with a fabricated NULL
+    q = _glob.glob(f"{lake.root}/dlq/toast/*/*/*.parquet")
+    assert q, "quarantine parquet expected"
+    qrows = spark.read.parquet(f"{lake.root}/dlq/toast").collect()
+    assert [r.path for r in qrows] == ["ghost.sql"]
