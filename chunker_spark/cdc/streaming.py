@@ -643,3 +643,103 @@ def replay_dlq(
         "batch_id": batch_id,
         "commit": commit,
     }
+
+
+def replay_toast_quarantine(
+    lake: LakeTable,
+    value_cols: list[str],
+    params: ChunkerParams = SOURCE_PARAMS,
+    event_transform=None,
+    **apply_kwargs,
+) -> dict:
+    """Re-attempt quarantined unresolved-TOAST rows against the lake's
+    CURRENT state.
+
+    ``IngestStream(toast_value_cols=...)`` quarantines rows whose
+    sentinel no pass could resolve (typically: the key's previous
+    version had not reached the lake yet — out-of-order topics, a
+    backfill racing the tail). Once the missing versions land, this
+    replays the quarantine through the same state fill and commits the
+    now-resolved rows as ONE content-addressed batch (ledger no-op on
+    retry, same crash-safety dance as ``replay_dlq``: survivors are
+    re-quarantined BEFORE the old directories are removed). Pass the
+    same ``event_transform`` the stream uses (e.g. the rename split) —
+    quarantined rows were diverted before it ran.
+
+    Returns {"replayed": n, "still_bad": m, "batch_id": ..., "commit":
+    commit-dict-or-None}.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .lake import bucket_expr, resolve_state
+    from .schema import KEY_COLS
+    from .toast import fill_from_state
+
+    spark = lake.spark
+    root = f"{lake.root}/dlq/toast"
+    if not os.path.isdir(root):
+        return {"replayed": 0, "still_bad": 0, "batch_id": None, "commit": None}
+    run_dirs = sorted(
+        d for d in os.listdir(root)
+        if d.startswith("ingest_run=") and os.path.isdir(os.path.join(root, d))
+    )
+    if not run_dirs:
+        return {"replayed": 0, "still_bad": 0, "batch_id": None, "commit": None}
+    rows = spark.read.parquet(
+        *[os.path.join(root, d) for d in run_dirs]
+    ).localCheckpoint(eager=True)
+
+    keys = list(KEY_COLS)
+    old = "old_" if all(f"old_{k}" in rows.columns for k in keys) else None
+    lookup_keys = rows.select(
+        *[
+            (F.coalesce(F.col(f"{old}{k}"), F.col(k)) if old else F.col(k)).alias(k)
+            for k in keys
+        ]
+    ).distinct()
+    buckets = sorted(
+        r["b"]
+        for r in lookup_keys.select(
+            bucket_expr(lake.num_buckets).alias("b")
+        ).distinct().collect()
+    )
+    if buckets:
+        state = resolve_state(
+            lake.read_files(buckets=buckets).join(lookup_keys, keys, "left_semi")
+        ).select(*keys, *value_cols)
+        rows = fill_from_state(
+            rows, state, keys, value_cols, old_prefix=old, keep_marks=True
+        )
+    resolved = rows.where(F.col("toast_unresolved") == 0).drop(
+        "toast_unresolved", *[f"_toast_un_{c}" for c in value_cols]
+    )
+    still_bad = rows.where(F.col("toast_unresolved") > 0)
+
+    from ..functions.digests import content_digest
+
+    stats = resolved.agg(
+        F.count(F.lit(1)).alias("n"),
+        content_digest(F.to_json(F.struct(*resolved.columns))).alias("dig"),
+    ).collect()[0]
+    n_ok = int(stats["n"])
+    commit = None
+    batch_id = None
+    if n_ok:
+        batch_id = f"toast-replay-{int(stats['dig']) % (1 << 64):016x}"
+        if event_transform is not None:
+            resolved = event_transform(resolved)
+        commit = apply_batch(lake, resolved, batch_id, params=params, **apply_kwargs)
+
+    n_bad = still_bad.count()
+    replay_dir = f"ingest_run=replay-{(batch_id or 'none')[-16:]}"
+    if n_bad:
+        still_bad.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, replay_dir, "batch_id=0")
+        )
+    for d in run_dirs:
+        if n_bad and d == replay_dir:
+            continue
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return {"replayed": n_ok, "still_bad": n_bad, "batch_id": batch_id, "commit": commit}

@@ -264,3 +264,65 @@ def test_streaming_toast_fill_cross_batch_with_quarantine(spark, tmp_path):
     assert q, "quarantine parquet expected"
     qrows = spark.read.parquet(f"{lake.root}/dlq/toast").collect()
     assert [r.path for r in qrows] == ["ghost.sql"]
+
+
+def test_replay_toast_quarantine_after_missing_version_lands(spark, tmp_path):
+    """Out-of-order delivery: the quarantined placeholder UPDATE's base
+    version arrives in a LATER batch (lower seq). replay_toast_quarantine
+    then resolves it from the lake state, merges it as one
+    content-addressed batch, and empties the quarantine; a second replay
+    is a no-op."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from chunker_spark.cdc import LakeTable
+    from chunker_spark.cdc.keychange import split_key_changes
+    from chunker_spark.cdc.streaming import IngestStream, replay_toast_quarantine
+    from chunker_spark.kernel import ChunkerParams
+
+    def wj(action, lsn, path, content=None):
+        body = {"action": action, "lsn": lsn, "table": "files",
+                "columns": [{"name": "repo", "value": "r"},
+                            {"name": "path", "value": path},
+                            {"name": "content", "value": content}]}
+        if action == "U":
+            body["identity"] = [{"name": "repo", "value": "r"},
+                                {"name": "path", "value": path}]
+        return _json.dumps(body)
+
+    log_dir = tmp_path / "wal"
+    log_dir.mkdir()
+    (log_dir / "seg-0.jsonl").write_text(
+        wj("U", "1/300", "ghost.sql", PH) + "\n"  # arrives BEFORE its insert
+    )
+    params = ChunkerParams(average_bits=6, min_size=64, max_size=256)
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    transform = lambda df: split_key_changes(df, ["repo", "path"], delete_op="D")  # noqa: E731
+
+    def run():
+        IngestStream(
+            spark, lake, str(log_dir), str(tmp_path / "ckpt"), params=params,
+            wire_format="wal2json", max_files_per_trigger=1,
+            parser_kwargs={"with_old_keys": True},
+            toast_value_cols=["content"], event_transform=transform,
+        ).run_available()
+
+    run()
+    assert {r.path for r in lake.read().collect()} == set()  # quarantined, not merged
+    assert _glob.glob(f"{lake.root}/dlq/toast/*/*/*.parquet")
+
+    # the missing base version lands late (lower seq, later batch)
+    (log_dir / "seg-1.jsonl").write_text(wj("I", "0/50", "ghost.sql", "vg\n") + "\n")
+    run()
+    assert {r.path: r.content for r in lake.read().collect()} == {"ghost.sql": "vg\n"}
+
+    res = replay_toast_quarantine(lake, ["content"], params=params, event_transform=transform)
+    assert (res["replayed"], res["still_bad"]) == (1, 0)
+    state = {r.path: r.content for r in lake.read().collect()}
+    assert state == {"ghost.sql": "vg\n"}  # resolved to the unchanged value
+    assert not _os.path.isdir(f"{lake.root}/dlq/toast") or not _os.listdir(
+        f"{lake.root}/dlq/toast"
+    )
+    res2 = replay_toast_quarantine(lake, ["content"], params=params, event_transform=transform)
+    assert res2["replayed"] == 0  # empty quarantine: no-op
