@@ -165,6 +165,19 @@ class IngestStream:
         #     a sentinel in the lake. Costs ~3 extra Spark actions per
         #     batch when enabled; opt-in.
         self.toast_value_cols = list(toast_value_cols or [])
+        if self.toast_value_cols:
+            # every source (typed parquet or any wire parser) yields
+            # EVENT_SCHEMA columns — validate at construction
+            event_string_cols = {
+                f.name for f in EVENT_SCHEMA.fields
+                if f.dataType.simpleString() == "string"
+            }
+            bad = sorted(set(self.toast_value_cols) - event_string_cols)
+            if bad:
+                raise ValueError(
+                    f"toast_value_cols {bad} are not string event columns "
+                    f"(choose from {sorted(event_string_cols)})"
+                )
         self.source = source
         self.kafka_bootstrap_servers = kafka_bootstrap_servers
         self.kafka_topic = kafka_topic

@@ -326,3 +326,15 @@ def test_replay_toast_quarantine_after_missing_version_lands(spark, tmp_path):
     )
     res2 = replay_toast_quarantine(lake, ["content"], params=params, event_transform=transform)
     assert res2["replayed"] == 0  # empty quarantine: no-op
+
+
+def test_toast_value_cols_validated_at_construction(spark, tmp_path):
+    import pytest as _pytest
+
+    from chunker_spark.cdc import LakeTable
+    from chunker_spark.cdc.streaming import IngestStream
+
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    with _pytest.raises(ValueError, match="not string event columns"):
+        IngestStream(spark, lake, str(tmp_path), str(tmp_path / "ckpt"),
+                     toast_value_cols=["seq"])
