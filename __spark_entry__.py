@@ -1977,6 +1977,40 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_compact(spark, sf):
+    """Kafka-style log compaction of the archived change log: latest
+    event per (repo, path) via one partial→final max_by aggregation
+    (map-side combine collapses per-key history before the shuffle),
+    with delete tombstones older than the retention horizon (seq 150)
+    aged out — bounding from-scratch replay cost at 10^10 events. The
+    oracle recomputes latest-per-key with a window and applies the same
+    horizon rule; replay equivalence vs the FULL log is pinned
+    separately in tests/test_logcompact.py."""
+    from chunker_spark.cdc.logcompact import compact_log
+
+    _ensure_replay_fixture()
+    events = spark.read.parquet(_REPLAY_FIXTURE_DIR)
+    c = compact_log(events, tombstone_horizon=150)
+    return c.select(
+        "repo", "path", "seq", "op",
+        F.sha2(F.col("content").cast("binary"), 256).alias("content_sha256"),
+    )
+
+
+def _sql_cdc_compact() -> str:
+    _ensure_replay_fixture()
+    return f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FIXTURE_DIR}/segment-00000.parquet')),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM ev
+)
+SELECT repo, path, seq, op, sha256(content) AS content_sha256
+FROM latest
+WHERE rn = 1 AND NOT (op = 'D' AND seq < 150)
+"""
+
+
 def q_txn_gate_release(spark, sf):
     """Transaction-atomic release across a micro-batch cut: the fixture
     slices a wal2json stream (include-xids) mid-transaction — txn 701's
@@ -3786,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "cdc_replay": q_cdc_replay,
         "cdc_changes": q_cdc_changes,
+        "cdc_compact": q_cdc_compact,
         "debezium_parse": q_debezium_parse,
         "maxwell_parse": q_maxwell_parse,
         "wal2json_parse": q_wal2json_parse,
@@ -3877,6 +3912,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann": SQL_IVF_ANN,
         "cdc_replay": _sql_cdc_replay_with_fixture(),
         "cdc_changes": _sql_cdc_changes(),
+        "cdc_compact": _sql_cdc_compact(),
         "debezium_parse": _sql_debezium_parse(),
         "maxwell_parse": _sql_maxwell_parse(),
         "wal2json_parse": _sql_wal2json_parse(),
