@@ -1977,6 +1977,51 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_timetravel(spark, sf):
+    """Snapshot read AS OF an earlier commit (Iceberg time-travel
+    parity, lake.read(at=...)): replay the 300-event fixture as two
+    exactly-once commits, then read the table as of commit 0. The
+    oracle recomputes the batch-A resolved state (seq < 150)
+    independently in SQL — proving historical commits stay readable
+    and resolve to exactly the state they committed."""
+    import tempfile
+
+    from chunker_spark.cdc import LakeTable, apply_batch
+    from chunker_spark.kernel import ChunkerParams
+
+    _ensure_replay_fixture()
+    events = spark.read.parquet(_REPLAY_FIXTURE_DIR)
+    lake = LakeTable(spark, tempfile.mkdtemp(prefix="q-tt-"), num_buckets=4)
+    params = ChunkerParams(average_bits=9, min_size=256, max_size=4096)
+    apply_batch(lake, events.where(F.col("seq") < 150), "t0", params=params, collect_metrics=False)
+    apply_batch(lake, events.where(F.col("seq") >= 150), "t1", params=params, collect_metrics=False)
+    return lake.read(at=0).select(
+        "repo", "path", "commit", "language", "branch", "content_sha256", "size"
+    )
+
+
+def _sql_cdc_timetravel() -> str:
+    _ensure_replay_fixture()
+    return f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FIXTURE_DIR}/segment-00000.parquet')),
+norm AS (
+  SELECT seq, op, repo, path, commit,
+         CASE WHEN schema_ver >= 3 THEN language ELSE lang END AS language,
+         CASE WHEN schema_ver >= 2 THEN branch ELSE 'main' END AS branch,
+         content
+  FROM ev WHERE seq < 150
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM norm
+)
+SELECT repo, path, commit, language, branch,
+       sha256(content) AS content_sha256,
+       CAST(strlen(content) AS BIGINT) AS size
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_cdc_compact(spark, sf):
     """Kafka-style log compaction of the archived change log: latest
     event per (repo, path) via one partial→final max_by aggregation
@@ -3821,6 +3866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay": q_cdc_replay,
         "cdc_changes": q_cdc_changes,
         "cdc_compact": q_cdc_compact,
+        "cdc_timetravel": q_cdc_timetravel,
         "debezium_parse": q_debezium_parse,
         "maxwell_parse": q_maxwell_parse,
         "wal2json_parse": q_wal2json_parse,
@@ -3913,6 +3959,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay": _sql_cdc_replay_with_fixture(),
         "cdc_changes": _sql_cdc_changes(),
         "cdc_compact": _sql_cdc_compact(),
+        "cdc_timetravel": _sql_cdc_timetravel(),
         "debezium_parse": _sql_debezium_parse(),
         "maxwell_parse": _sql_maxwell_parse(),
         "wal2json_parse": _sql_wal2json_parse(),

@@ -127,6 +127,15 @@ class LakeTable:
         self._ledger_cache: dict[str, frozenset[str]] = {}
         os.makedirs(f"{self.root}/meta", exist_ok=True)
         os.makedirs(f"{self.root}/data", exist_ok=True)
+        # Reopening an existing table: the committed layout wins. The
+        # bucket count is a physical property of the data on disk (every
+        # file map is keyed by it); trusting a mismatched constructor
+        # arg would mis-prune bucket reads and split future writes
+        # across two incompatible hashings. rebucket() is the only way
+        # to change it.
+        committed = self.current_commit()
+        if committed and "num_buckets" in committed:
+            self.num_buckets = int(committed["num_buckets"])
 
     # ---- commit log ------------------------------------------------
 
@@ -366,6 +375,33 @@ class LakeTable:
                 )
         return files
 
+    def _ledger_carry(
+        self, prev: dict | None, batch_id: str | int, seq: int
+    ) -> tuple[list[str], list[str]]:
+        """Carry the exactly-once batch-id ledger into the next commit:
+        extend the recent tail with ``batch_id`` and spill it to an
+        immutable side chunk once it exceeds ``ledger_spill_threshold``
+        (a crash between the chunk write and the commit rename is
+        harmless — a retry rewrites the same deterministic content via
+        tmp + rename). Returns (tail, ledger_files)."""
+        prev_tail = set(prev.get("batch_ids", [])) if prev else set()
+        ledger_files = list(prev.get("ledger_files", [])) if prev else []
+        if prev and "batch_ids" not in prev:  # pre-ledger log: rebuild once
+            prev_tail = self.committed_batch_ids()
+        tail = sorted(prev_tail | {str(batch_id)})
+        if len(tail) > self.ledger_spill_threshold:
+            chunk_name = f"ledger-{seq:012d}.json"
+            tmp = f"{self.root}/meta/.tmp-ledger-{uuid.uuid4().hex}.json"
+            with open(tmp, "w") as f:
+                json.dump({"batch_ids": tail}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, f"{self.root}/meta/{chunk_name}")
+            self._ledger_cache[chunk_name] = frozenset(tail)
+            ledger_files.append(chunk_name)
+            tail = []
+        return tail, ledger_files
+
     def append_delta(
         self,
         delta_rows: DataFrame,
@@ -430,26 +466,7 @@ class LakeTable:
         for p in live_paths - set(file_stats):  # legacy stat-less: never prune
             file_stats[p] = [None, None, None, None]
 
-        prev_tail = set(prev.get("batch_ids", [])) if prev else set()
-        ledger_files = list(prev.get("ledger_files", [])) if prev else []
-        if prev and "batch_ids" not in prev:  # pre-ledger log: rebuild once
-            prev_tail = self.committed_batch_ids()
-        tail = sorted(prev_tail | {str(batch_id)})
-        if len(tail) > self.ledger_spill_threshold:
-            # spill the tail to an immutable side chunk so the commit
-            # JSON stays O(threshold) forever; a crash between this
-            # write and the commit rename is harmless (retry rewrites
-            # the same deterministic content via tmp+rename)
-            chunk_name = f"ledger-{seq:012d}.json"
-            tmp = f"{self.root}/meta/.tmp-ledger-{uuid.uuid4().hex}.json"
-            with open(tmp, "w") as f:
-                json.dump({"batch_ids": tail}, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.rename(tmp, f"{self.root}/meta/{chunk_name}")
-            self._ledger_cache[chunk_name] = frozenset(tail)
-            ledger_files.append(chunk_name)
-            tail = []
+        tail, ledger_files = self._ledger_carry(prev, batch_id, seq)
         commit = {
             "commit_seq": seq,
             "batch_id": str(batch_id),
@@ -468,6 +485,68 @@ class LakeTable:
         return commit
 
     # ---- maintenance -------------------------------------------------
+
+    def rebucket(self, new_num_buckets: int) -> dict:
+        """Bucket-count evolution (Iceberg ``bucket(N, key)`` partition
+        evolution analogue): rewrite the table under a new key-hash
+        width in one commit. Day-2 necessity at 10^10 events — a table
+        sized for N buckets at launch eventually needs 4N to keep
+        per-bucket file data bounded, and requiring a full re-ingest to
+        get there would make the initial choice permanent.
+
+        Mechanics: resolve current files to one row per key (tombstones
+        KEPT above the horizon — late seqs stay fenced, same rule as
+        compaction), rewrite everything hashed by the new bucket count,
+        and publish a ``rebucket`` commit. The exactly-once batch-id
+        ledger carries forward, so replayed batches are still no-ops
+        after the rewrite. Historical commits stay time-travel readable
+        (their file maps are keyed by THEIR OWN num_buckets; full reads
+        resolve identically, only bucket-pruned reads are
+        layout-specific). Crash-safe like every write: data files land
+        first, the commit JSON rename is the atomic point; a crash
+        in between leaves an orphan snap dir for vacuum_orphans().
+        Single-writer op, like compaction.
+
+        Cost: one full-table shuffle — O(live keys), not O(history),
+        because resolution collapses per-key deltas map-side first.
+        """
+        if new_num_buckets < 1:
+            raise ValueError(f"rebucket: num_buckets must be >= 1, got {new_num_buckets}")
+        prev = self.current_commit()
+        seq = (prev["commit_seq"] + 1) if prev else 0
+        rows = resolve_state(self.read_files(), drop_tombstones=False)
+        if self.tombstone_horizon is not None:
+            rows = rows.where(
+                ~F.col("deleted") | (F.col("seq") >= F.lit(self.tombstone_horizon))
+            )
+        old_n = self.num_buckets
+        self.num_buckets = new_num_buckets  # _write_snap hashes with it
+        try:
+            files = self._write_snap(rows, new_num_buckets, seq, "rebucket")
+        except Exception:
+            self.num_buckets = old_n  # failed rewrite: layout unchanged
+            raise
+        file_stats: dict[str, list[str | None]] = _file_key_ranges(
+            sorted(p for fl in files.values() for p in fl)
+        )
+        batch_id = f"__rebucket-{seq}"
+        tail, ledger_files = self._ledger_carry(prev, batch_id, seq)
+        commit = {
+            "commit_seq": seq,
+            "batch_id": batch_id,
+            "batch_ids": tail,
+            "ledger_files": ledger_files,
+            "ts": time.time(),
+            "kind": "rebucket",
+            "num_buckets": new_num_buckets,
+            "touched_buckets": sorted(int(b) for b in files),
+            "compacted_buckets": [],
+            "files": files,
+            "file_stats": file_stats,
+            "stats": {"rebucket_from": old_n, "rebucket_to": new_num_buckets},
+        }
+        self._write_commit(commit)
+        return commit
 
     def expire_commits(self, keep_last: int = 2) -> dict:
         """Expire old commits and garbage-collect their data files
