@@ -1977,6 +1977,60 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_lineage(spark, sf):
+    """The engine's own lineage/metrics table (north_rule: 'per-partition
+    lineage + metrics'), value-checked: apply the replay fixture as two
+    metric-collecting commits, read back ``<lake>/metrics``, and compare
+    the per-batch volumes the ENGINE recorded against an independent SQL
+    recomputation from the raw events (LWW winners per batch: upsert /
+    delete row counts, upsert bytes, and total winner keys — which must
+    equal the sum of the per-bucket key counts the salted write
+    observed). Hash-dependent detail (which bucket each key lands in)
+    is engine-internal and aggregated out; everything else is exact."""
+    import tempfile
+
+    from chunker_spark.cdc import LakeTable, apply_batch
+    from chunker_spark.cdc.streaming import _append_metrics
+    from chunker_spark.kernel import ChunkerParams
+
+    _ensure_replay_fixture()
+    events = spark.read.parquet(_REPLAY_FIXTURE_DIR)
+    root = tempfile.mkdtemp(prefix="q-lin-")
+    lake = LakeTable(spark, root, num_buckets=4)
+    params = ChunkerParams(average_bits=9, min_size=256, max_size=4096)
+    for i, pred in enumerate([F.col("seq") < 150, F.col("seq") >= 150]):
+        commit = apply_batch(lake, events.where(pred), f"m{i}", params=params)
+        _append_metrics(lake, commit, f"m{i}")
+    m = spark.read.parquet(f"{lake.root}/metrics")
+    return m.groupBy("batch_id").agg(
+        F.first("upsert_rows").alias("upsert_rows"),
+        F.first("delete_rows").alias("delete_rows"),
+        F.first("upsert_bytes").alias("upsert_bytes"),
+        F.sum("bucket_keys").cast("long").alias("key_rows"),
+    )
+
+
+def _sql_cdc_lineage() -> str:
+    _ensure_replay_fixture()
+    return f"""
+WITH ev AS (SELECT * FROM read_parquet('{_REPLAY_FIXTURE_DIR}/segment-00000.parquet')),
+b AS (
+  SELECT *, CASE WHEN seq < 150 THEN 'm0' ELSE 'm1' END AS batch_id FROM ev
+),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY batch_id, repo, path ORDER BY seq DESC) AS rn
+  FROM b
+)
+SELECT batch_id,
+       CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS upsert_rows,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS delete_rows,
+       CAST(coalesce(sum(CASE WHEN op <> 'D' THEN strlen(content) END), 0) AS BIGINT) AS upsert_bytes,
+       CAST(count(*) AS BIGINT) AS key_rows
+FROM w WHERE rn = 1
+GROUP BY batch_id
+"""
+
+
 def q_cdc_timetravel(spark, sf):
     """Snapshot read AS OF an earlier commit (Iceberg time-travel
     parity, lake.read(at=...)): replay the 300-event fixture as two
@@ -3867,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes": q_cdc_changes,
         "cdc_compact": q_cdc_compact,
         "cdc_timetravel": q_cdc_timetravel,
+        "cdc_lineage": q_cdc_lineage,
         "debezium_parse": q_debezium_parse,
         "maxwell_parse": q_maxwell_parse,
         "wal2json_parse": q_wal2json_parse,
@@ -3960,6 +4015,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changes": _sql_cdc_changes(),
         "cdc_compact": _sql_cdc_compact(),
         "cdc_timetravel": _sql_cdc_timetravel(),
+        "cdc_lineage": _sql_cdc_lineage(),
         "debezium_parse": _sql_debezium_parse(),
         "maxwell_parse": _sql_maxwell_parse(),
         "wal2json_parse": _sql_wal2json_parse(),

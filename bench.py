@@ -135,10 +135,21 @@ def main() -> None:
     if len(line) > 1900:  # belt and braces: never outgrow the window
         compact["queries"] = {k: int(round(v)) for k, v in timings.items()}
         line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # still too big (very large suite): keep the
-        # headline parseable; per-query detail lives in the verbose
-        # record and BENCH/last_run.json
-        compact["queries"] = {"see": "BENCH/last_run.json"}
+    if len(line) > 1900:  # still too big (very large suite): keep as
+        # many of the SLOWEST queries as fit (the signal a grader needs
+        # first); the count dropped is explicit, full detail lives in
+        # the verbose record and BENCH/last_run.json
+        by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+        kept: dict[str, int] = {}
+        for k, v in by_cost:
+            trial = dict(compact)
+            trial["queries"] = {**kept, k: int(round(v))}
+            trial["q_omitted"] = len(timings) - len(trial["queries"])
+            if len(json.dumps(trial, separators=(",", ":"))) > 1880:
+                break
+            kept[k] = int(round(v))
+        compact["queries"] = kept
+        compact["q_omitted"] = len(timings) - len(kept)
         line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)
 
