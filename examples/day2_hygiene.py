@@ -9,7 +9,9 @@ One run shows the three production traps and their fixes end-to-end:
    from the previous row version;
 3. a sink drifts (simulated bit-rot) — ``table_diff`` finds it and
    ``repair_events`` emits the corrective events that make the
-   re-audit read all-equal.
+   re-audit read all-equal;
+4. the table outgrows its launch bucket count — ``rebucket`` rewrites
+   the layout in one commit with state preserved.
 
 Run: python examples/day2_hygiene.py
 """
@@ -118,7 +120,14 @@ def main() -> None:
     after = reconcile_summary(source, repaired, ["repo", "path"], ["content"]).collect()[0]
     print("re-audit:", dict(after.asDict()))
     assert (after.mismatch, after.only_left, after.only_right) == (0, 0, 0)
-    print("OK — rename split, TOAST fill, and drift repair all verified")
+    # day-2 layout evolution: the table outgrew its launch bucket count
+    pre = {(r.path, r.content) for r in lake.read().select("path", "content").collect()}
+    commit = lake.rebucket(8)
+    assert commit["kind"] == "rebucket" and lake.num_buckets == 8
+    assert {(r.path, r.content) for r in lake.read().select("path", "content").collect()} == pre
+    print("rebucket:", commit["stats"], "state preserved across rewrite")
+
+    print("OK — rename split, TOAST fill, drift repair, rebucket all verified")
     spark.stop()
 
 
