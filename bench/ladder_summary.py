@@ -19,6 +19,9 @@ def main() -> None:
     ap.add_argument("path")
     ap.add_argument("--clean-steal", type=float, default=1.0,
                     help="max total steal%% for a run to count as clean")
+    ap.add_argument("--clean-bw", type=float, default=1.2,
+                    help="min pre-run fresh_gbs for the bandwidth-clean "
+                         "view (runs without the probe label are excluded)")
     ap.add_argument("--lo", type=int, default=1, help="N parallelism level")
     ap.add_argument("--hi", type=int, default=4, help="4N parallelism level")
     args = ap.parse_args()
@@ -61,6 +64,24 @@ def main() -> None:
               f"efficiency {(med(c_hi) / med(c_lo)) / (args.hi / args.lo):.2f}")
     else:
         print("steal-clean subset: insufficient clean runs")
+
+    # Bandwidth-clean view: the steal counter misses co-tenant DRAM
+    # saturation (BENCH/BASELINE.md round 4), so runs fired by the
+    # probe-gated collectors carry a pre-run fresh-mapping bandwidth
+    # label; this view keeps only runs whose window measured healthy.
+    def bw_clean(rs):
+        return [r for r in rs if (r.get("fresh_gbs") or 0) >= args.clean_bw]
+
+    g_lo, g_hi = bw_clean(lo), bw_clean(hi)
+    if g_lo and g_hi:
+        print(f"bw-clean (fresh >= {args.clean_bw} GB/s): "
+              f"p{args.lo} n={len(g_lo)} median={med(g_lo):.0f} best={max(r['ev_s'] for r in g_lo):.0f} | "
+              f"p{args.hi} n={len(g_hi)} median={med(g_hi):.0f} best={max(r['ev_s'] for r in g_hi):.0f} | "
+              f"median efficiency {(med(g_hi) / med(g_lo)) / (args.hi / args.lo):.2f}")
+    else:
+        print(f"bw-clean subset (fresh >= {args.clean_bw} GB/s): "
+              f"insufficient labeled runs (p{args.lo} n={len(g_lo)}, "
+              f"p{args.hi} n={len(g_hi)})")
 
 
 if __name__ == "__main__":
