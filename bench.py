@@ -30,10 +30,31 @@ import __spark_entry__ as entrymod
 from pyspark.sql import SparkSession
 
 
+def _host_probe() -> dict | None:
+    """Label the run with the host's DRAM regime (BENCH/BASELINE.md:
+    co-tenant bandwidth saturation inflates absolute times up to 2-3x
+    and is invisible to CPU-steal counters). Never fails the bench."""
+    try:
+        # by path: the `bench/` dir is shadowed by this very file's
+        # module name, so `import bench.bw_probe` cannot resolve
+        import importlib.util
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench", "bw_probe.py"
+        )
+        spec = importlib.util.spec_from_file_location("_bw_probe", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.probe()
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    probe_start = _host_probe()
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -111,6 +132,10 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "rows": row_counts,
+        # DRAM-regime labels (healthy fresh ~2.3 GB/s; sick 0.01-0.2):
+        # absolute times from a sick window are inflated up to 2-3x
+        "host_probe_start": probe_start,
+        "host_probe_end": _host_probe(),
     }
     print(json.dumps(verbose))
     try:  # full record also on disk (the stdout tail window is small)
