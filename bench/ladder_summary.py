@@ -83,6 +83,26 @@ def main() -> None:
               f"insufficient labeled runs (p{args.lo} n={len(g_lo)}, "
               f"p{args.hi} n={len(g_hi)})")
 
+    # Protocol view — the published estimator for asymmetric collection
+    # (BENCH/BASELINE.md round 4): the host's DRAM-saturation mode barely
+    # touches a 1-core run but throttles multi-core runs 2-3x, so pN-lo
+    # samples are valid in ANY steal-clean window while pN-hi samples
+    # count only when fired into a probe-healthy window. Best-of-N per
+    # level (interference is one-sided), ratio over the core ratio.
+    p_lo = clean(lo)
+    p_hi = [r for r in bw_clean(hi) if r in clean(hi)]
+    if p_lo and p_hi:
+        pb_lo = max(r["ev_s"] for r in p_lo)
+        pb_hi = max(r["ev_s"] for r in p_hi)
+        print(f"PROTOCOL (p{args.lo} steal-clean any-window n={len(p_lo)}, "
+              f"p{args.hi} steal+bw-clean n={len(p_hi)}): "
+              f"best p{args.lo} {pb_lo:.0f} | best p{args.hi} {pb_hi:.0f} | "
+              f"efficiency {(pb_hi / pb_lo) / (args.hi / args.lo):.2f}")
+    else:
+        print(f"PROTOCOL view: insufficient runs "
+              f"(p{args.lo} steal-clean n={len(p_lo)}, "
+              f"p{args.hi} steal+bw-clean n={len(p_hi)})")
+
 
 if __name__ == "__main__":
     main()
