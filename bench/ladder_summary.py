@@ -90,7 +90,7 @@ def main() -> None:
     # count only when fired into a probe-healthy window. Best-of-N per
     # level (interference is one-sided), ratio over the core ratio.
     p_lo = clean(lo)
-    p_hi = [r for r in bw_clean(hi) if r in clean(hi)]
+    p_hi = clean(bw_clean(hi))
     if p_lo and p_hi:
         pb_lo = max(r["ev_s"] for r in p_lo)
         pb_hi = max(r["ev_s"] for r in p_hi)

@@ -521,31 +521,37 @@ class LakeTable:
             )
         old_n = self.num_buckets
         self.num_buckets = new_num_buckets  # _write_snap hashes with it
+        # the restore scope runs through the commit rename: until
+        # _write_commit succeeds the committed layout is still old_n,
+        # and an instance left on the new count after e.g. an ENOSPC in
+        # the ledger-carry write would hash subsequent deltas with a
+        # bucket count the table's files don't use (split-hash
+        # corruption, mis-pruned bucket reads)
         try:
             files = self._write_snap(rows, new_num_buckets, seq, "rebucket")
+            file_stats: dict[str, list[str | None]] = _file_key_ranges(
+                sorted(p for fl in files.values() for p in fl)
+            )
+            batch_id = f"__rebucket-{seq}"
+            tail, ledger_files = self._ledger_carry(prev, batch_id, seq)
+            commit = {
+                "commit_seq": seq,
+                "batch_id": batch_id,
+                "batch_ids": tail,
+                "ledger_files": ledger_files,
+                "ts": time.time(),
+                "kind": "rebucket",
+                "num_buckets": new_num_buckets,
+                "touched_buckets": sorted(int(b) for b in files),
+                "compacted_buckets": [],
+                "files": files,
+                "file_stats": file_stats,
+                "stats": {"rebucket_from": old_n, "rebucket_to": new_num_buckets},
+            }
+            self._write_commit(commit)
         except Exception:
-            self.num_buckets = old_n  # failed rewrite: layout unchanged
+            self.num_buckets = old_n  # nothing committed: layout unchanged
             raise
-        file_stats: dict[str, list[str | None]] = _file_key_ranges(
-            sorted(p for fl in files.values() for p in fl)
-        )
-        batch_id = f"__rebucket-{seq}"
-        tail, ledger_files = self._ledger_carry(prev, batch_id, seq)
-        commit = {
-            "commit_seq": seq,
-            "batch_id": batch_id,
-            "batch_ids": tail,
-            "ledger_files": ledger_files,
-            "ts": time.time(),
-            "kind": "rebucket",
-            "num_buckets": new_num_buckets,
-            "touched_buckets": sorted(int(b) for b in files),
-            "compacted_buckets": [],
-            "files": files,
-            "file_stats": file_stats,
-            "stats": {"rebucket_from": old_n, "rebucket_to": new_num_buckets},
-        }
-        self._write_commit(commit)
         return commit
 
     def expire_commits(self, keep_last: int = 2) -> dict:

@@ -323,9 +323,8 @@ class IngestStream:
         """Two-stage sentinel resolution + quarantine (see __init__)."""
         from pyspark.sql import functions as F
 
-        from .lake import bucket_expr, resolve_state
         from .schema import KEY_COLS
-        from .toast import fill_from_state, fill_unavailable
+        from .toast import fill_unavailable
 
         cols = self.toast_value_cols
         keys = list(KEY_COLS)
@@ -335,32 +334,12 @@ class IngestStream:
         # the frame is re-used three times below (flag probe, state
         # join, merge input) — pin it once instead of re-parsing
         df = df.localCheckpoint(eager=True)
-
-        lookup_keys = df.where(F.col("toast_unresolved") > 0).select(
-            *[
-                (F.coalesce(F.col(f"{old}{k}"), F.col(k)) if old else F.col(k)).alias(k)
-                for k in keys
-            ]
-        ).distinct()
-        buckets = sorted(
-            r["b"]
-            for r in lookup_keys.select(
-                bucket_expr(self.lake.num_buckets).alias("b")
-            ).distinct().collect()
-        )
-        if buckets:
-            # no forced broadcast: flagged keys are few at steady state
-            # (AQE broadcasts them on its own) but a placeholder flood
-            # after a bulk import must not transit the driver
-            state = resolve_state(
-                self.lake.read_files(buckets=buckets).join(
-                    lookup_keys, keys, "left_semi"
-                )
-            ).select(*keys, *cols)
-            df = fill_from_state(
-                df, state, keys, cols, old_prefix=old, keep_marks=True
-            )
-            quarantine = df.where(F.col("toast_unresolved") > 0)
+        df, flagged = _toast_state_resolve(self.lake, df, keys, cols, old)
+        if flagged:
+            # the fence segment is batch-local bookkeeping — by replay
+            # time this batch (deletes included) has merged, so writing
+            # it to the quarantine would wrongly re-fence the replay
+            quarantine = df.where(F.col("toast_unresolved") > 0).drop("_toast_seg")
             qdir = (
                 f"{self.lake.root}/dlq/toast/ingest_run={self.ingest_run_id}"
                 f"/batch_id={batch_id}"
@@ -375,8 +354,19 @@ class IngestStream:
                 import shutil
 
                 shutil.rmtree(qdir, ignore_errors=True)
+                try:
+                    # an all-resolved run leaves an EMPTY ingest_run=
+                    # parent otherwise, which a later quarantine replay
+                    # cannot read as parquet; rmdir only succeeds once
+                    # the last batch leaf is gone, which is exactly the
+                    # condition for removing it
+                    os.rmdir(os.path.dirname(qdir))
+                except OSError:
+                    pass
             df = df.where(F.col("toast_unresolved") == 0)
-        return df.drop("toast_unresolved", *[f"_toast_un_{c}" for c in cols])
+        return df.drop(
+            "toast_unresolved", "_toast_seg", *[f"_toast_un_{c}" for c in cols]
+        )
 
     def _build_stream(self):
         os.makedirs(self.checkpoint_dir, exist_ok=True)
@@ -658,6 +648,69 @@ def replay_dlq(
     }
 
 
+def _toast_state_resolve(lake, frame, keys, value_cols, old_prefix):
+    """Second-stage TOAST resolution shared by the ingest hot path
+    (``IngestStream._toast_fill``) and ``replay_toast_quarantine`` —
+    one implementation so a semantics fix cannot silently diverge
+    between the two paths.
+
+    Prunes the lake to the flagged rows' lookup buckets and fills
+    still-marked columns from resolved state. The lookup tries the
+    old-key coalesce first (a RENAME row's unchanged TOAST column lives
+    under its OLD key), then falls back to the row's OWN key: after a
+    crash in the exactly-once window a redelivered rename is already
+    applied — the old key is tombstoned and the value lives under the
+    new key — so without the fallback such rows would quarantine
+    forever and every replay would re-write them.
+
+    Returns ``(frame, flagged)``; ``flagged`` is False when no row
+    carried an unresolved mark (callers skip the quarantine write).
+    """
+    from pyspark.sql import functions as F
+
+    from .lake import bucket_expr, resolve_state
+    from .toast import fill_from_state
+
+    flagged_rows = frame.where(F.col("toast_unresolved") > 0)
+    lookup_keys = flagged_rows.select(
+        *[
+            (
+                F.coalesce(F.col(f"{old_prefix}{k}"), F.col(k))
+                if old_prefix
+                else F.col(k)
+            ).alias(k)
+            for k in keys
+        ]
+    )
+    if old_prefix:
+        lookup_keys = lookup_keys.unionByName(
+            flagged_rows.select(*[F.col(k) for k in keys])
+        )
+    lookup_keys = lookup_keys.distinct()
+    buckets = sorted(
+        r["b"]
+        for r in lookup_keys.select(
+            bucket_expr(lake.num_buckets).alias("b")
+        ).distinct().collect()
+    )
+    if not buckets:
+        return frame, False
+    # no forced broadcast: flagged keys are few at steady state (AQE
+    # broadcasts them on its own) but a placeholder flood after a bulk
+    # import must not transit the driver
+    state = resolve_state(
+        lake.read_files(buckets=buckets).join(lookup_keys, keys, "left_semi")
+    ).select(*keys, *value_cols)
+    frame = fill_from_state(
+        frame, state, keys, value_cols, old_prefix=old_prefix, keep_marks=True
+    )
+    if old_prefix:
+        frame = fill_from_state(
+            frame, state, keys, value_cols, old_prefix=None, keep_marks=True
+        )
+    return frame, True
+
+
 def replay_toast_quarantine(
     lake: LakeTable,
     value_cols: list[str],
@@ -686,9 +739,7 @@ def replay_toast_quarantine(
 
     from pyspark.sql import functions as F
 
-    from .lake import bucket_expr, resolve_state
     from .schema import KEY_COLS
-    from .toast import fill_from_state
 
     spark = lake.spark
     root = f"{lake.root}/dlq/toast"
@@ -698,33 +749,32 @@ def replay_toast_quarantine(
         d for d in os.listdir(root)
         if d.startswith("ingest_run=") and os.path.isdir(os.path.join(root, d))
     )
-    if not run_dirs:
+    # prune run dirs with no parquet leaves (an all-resolved stream can
+    # leave an empty ingest_run= shell behind; reading one would raise
+    # 'Unable to infer schema' instead of the documented no-op)
+    live_dirs = []
+    for d in run_dirs:
+        full = os.path.join(root, d)
+        if any(f.endswith(".parquet") for _, _, fs in os.walk(full) for f in fs):
+            live_dirs.append(d)
+        else:
+            shutil.rmtree(full, ignore_errors=True)
+    if not live_dirs:
         return {"replayed": 0, "still_bad": 0, "batch_id": None, "commit": None}
-    rows = spark.read.parquet(
-        *[os.path.join(root, d) for d in run_dirs]
-    ).localCheckpoint(eager=True)
+    # partition discovery materializes the batch_id= path component as a
+    # column — writing it back with the survivors would collide with the
+    # NEXT replay's discovered partition column, so drop it up front
+    # (and any _toast_seg from older quarantine layouts: the fence is
+    # batch-local and meaningless once the batch has merged)
+    rows = (
+        spark.read.parquet(*[os.path.join(root, d) for d in live_dirs])
+        .drop("batch_id", "_toast_seg")
+        .localCheckpoint(eager=True)
+    )
 
     keys = list(KEY_COLS)
     old = "old_" if all(f"old_{k}" in rows.columns for k in keys) else None
-    lookup_keys = rows.select(
-        *[
-            (F.coalesce(F.col(f"{old}{k}"), F.col(k)) if old else F.col(k)).alias(k)
-            for k in keys
-        ]
-    ).distinct()
-    buckets = sorted(
-        r["b"]
-        for r in lookup_keys.select(
-            bucket_expr(lake.num_buckets).alias("b")
-        ).distinct().collect()
-    )
-    if buckets:
-        state = resolve_state(
-            lake.read_files(buckets=buckets).join(lookup_keys, keys, "left_semi")
-        ).select(*keys, *value_cols)
-        rows = fill_from_state(
-            rows, state, keys, value_cols, old_prefix=old, keep_marks=True
-        )
+    rows, _ = _toast_state_resolve(lake, rows, keys, value_cols, old)
     resolved = rows.where(F.col("toast_unresolved") == 0).drop(
         "toast_unresolved", *[f"_toast_un_{c}" for c in value_cols]
     )
@@ -751,7 +801,7 @@ def replay_toast_quarantine(
         still_bad.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(root, replay_dir, "batch_id=0")
         )
-    for d in run_dirs:
+    for d in live_dirs:
         if n_bad and d == replay_dir:
             continue
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)

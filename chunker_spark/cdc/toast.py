@@ -119,12 +119,17 @@ def fill_unavailable(
     total = unresolved_flags[0]
     for f_ in unresolved_flags[1:]:
         total = total + f_
-    out = out.withColumn("toast_unresolved", total).drop("_toast_seg")
+    out = out.withColumn("toast_unresolved", total)
     if keep_marks:
         # per-column ``_toast_un_<c>`` markers stay for a downstream
-        # fill_from_state pass (it must know WHICH columns to fill)
+        # fill_from_state pass (it must know WHICH columns to fill),
+        # and so does ``_toast_seg``: a placeholder in segment > 0 sits
+        # AFTER an in-batch delete of its key, so the sink's pre-batch
+        # state is the previous incarnation — fill_from_state must see
+        # the fence or it resurrects exactly the stale data this
+        # module's delete-fence rule exists to block.
         return out
-    return out.drop(*[f"_toast_un_{c}" for c in value_cols])
+    return out.drop("_toast_seg", *[f"_toast_un_{c}" for c in value_cols])
 
 
 def toast_fixture_path(base: str = "/tmp/chunker_spark_fixtures") -> str:
@@ -237,6 +242,18 @@ def fill_from_state(
                 f"batch is missing mark column '_toast_un_{c}' — run "
                 f"fill_unavailable(..., keep_marks=True) first"
             )
+    # Delete fence (see fill_unavailable): a mark in segment > 0 means
+    # an in-batch delete of this row's key precedes it — the sink's
+    # state predates that delete (this batch has not merged), so a
+    # state fill would leak the OLD incarnation's value. Such rows stay
+    # marked here and route to quarantine; once the batch (delete
+    # included) has merged, a quarantine replay — whose input carries
+    # no ``_toast_seg`` — resolves them against the post-delete state.
+    fence_ok = (
+        F.coalesce(F.col("_toast_seg"), F.lit(0)) == 0
+        if "_toast_seg" in batch.columns
+        else F.lit(True)
+    )
     lookup = [
         F.coalesce(F.col(f"{old_prefix}{k}"), F.col(k)) if old_prefix else F.col(k)
         for k in key_cols
@@ -251,7 +268,7 @@ def fill_from_state(
         cond = cond & (lk == slim[f"_st_{k}"])
     j = batch.join(slim, cond, "left")
 
-    hit = F.col("_st_hit") == 1
+    hit = (F.col("_st_hit") == 1) & fence_ok
     out = j
     for c in value_cols:
         mark = F.col(f"_toast_un_{c}") == 1
@@ -266,4 +283,4 @@ def fill_from_state(
     )
     if keep_marks:
         return out
-    return out.drop(*[f"_toast_un_{c}" for c in value_cols])
+    return out.drop("_toast_seg", *[f"_toast_un_{c}" for c in value_cols])

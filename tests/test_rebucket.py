@@ -118,7 +118,11 @@ def test_rebucket_tombstone_horizon(spark, tmp_path):
     raw = {(r["path"], r["deleted"]) for r in lake.read_files().collect()}
     assert ("old", True) not in raw  # aged out by the rewrite
     assert ("new", True) in raw  # still fencing
-    assert _state(lake) == {t for t in _state(lake)}  # resolvable
+    import hashlib
+
+    assert _state(lake) == {
+        ("r", "live", "c5", "py", "main", hashlib.sha256(b"z").hexdigest())
+    }
     assert {r["path"] for r in lake.read().collect()} == {"live"}
 
 
