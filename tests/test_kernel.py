@@ -210,12 +210,13 @@ def test_polynomial_formatting_roundtrip():
 
 
 def test_native_seam_absent_and_injectable():
-    """The optional native-kernel seam: with no compiled provider (this
-    sandbox has no build toolchain) chunk_many runs the numpy path
-    unchanged; an injected provider satisfying the chunk_many_raw
-    contract is used and its (offset, length, cut) tuples surface as
-    Chunk lists. The scalar oracle doubles as a reference provider, so
-    the injected path's output must equal the numpy path's exactly."""
+    """The native-kernel seam: with the provider cleared chunk_many runs
+    the numpy path unchanged; an injected provider satisfying the
+    chunk_many_raw contract is used and its (offset, length, cut) tuples
+    surface as Chunk lists. The scalar oracle doubles as a reference
+    provider, so the injected path's output must equal the numpy path's
+    exactly. (The bundled C provider's own acceptance suite is
+    tests/test_native_kernel.py.)"""
     from chunker_spark.kernel import native
     from chunker_spark.kernel.chunker import ChunkerParams, chunk_list
     from chunker_spark.kernel.gorng import get_random
@@ -224,7 +225,7 @@ def test_native_seam_absent_and_injectable():
     params = ChunkerParams(average_bits=8, min_size=128, max_size=2048)
     bufs = [bytes(get_random(seed, 5000 + seed * 700)) for seed in (1, 2, 3)] + [b"", b"tiny"]
 
-    assert native.provider() is None  # no chunker_native in this env
+    native.set_provider(None)  # force the numpy path
     numpy_out = chunk_many(bufs, params)
 
     class ScalarProvider:
@@ -249,3 +250,4 @@ def test_native_seam_absent_and_injectable():
     assert injected_out == numpy_out
     # and clearing really restores the numpy path
     assert chunk_many(bufs, params) == numpy_out
+    native._provider = native._UNRESOLVED  # back to auto-discovery
