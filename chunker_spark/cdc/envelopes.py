@@ -103,7 +103,13 @@ _MAXWELL_SCHEMA = StructType(
 
 #: Debezium op codes -> engine ops ('r' = snapshot read = upsert)
 _DEBEZIUM_OPS = {"c": "I", "u": "U", "d": "D", "r": "I"}
-_MAXWELL_OPS = {"insert": "I", "update": "U", "delete": "D"}
+#: Maxwell's bootstrap (initial table sync) interleaves with the binlog
+#: stream: bootstrap-insert rows are snapshot upserts (seq 0, the same
+#: before-any-CDC contract as a DMS full-load row); bootstrap-start /
+#: bootstrap-complete are progress markers with an empty ``data`` and
+#: are dropped before projection (docs: maxwells-daemon.io/bootstrapping)
+_MAXWELL_OPS = {"insert": "I", "update": "U", "delete": "D", "bootstrap-insert": "I"}
+_MAXWELL_NON_ROW_TYPES = ("bootstrap-start", "bootstrap-complete")
 #: wal2json v2 actions are already I/U/D; B(egin)/C(ommit)/T(runcate)
 #: carry no row image and are dropped before projection
 _WAL2JSON_OPS = {"I": "I", "U": "U", "D": "D"}
@@ -317,6 +323,13 @@ def parse_maxwell(
     rotation — see ``_packed_binlog_seq``. A bare-offset position (no
     file part) packs as ordinal 0, i.e. the raw offset.
 
+    Bootstrap rows (see ``_MAXWELL_OPS``): ``bootstrap-insert`` is a
+    snapshot upsert at ``seq 0`` (its ``position`` is null — the row
+    comes from a table scan, not the binlog — and Maxwell writes each
+    key's snapshot once, before/alongside the CDC tail, so any binlog
+    change must beat it: the DMS full-load contract); ``bootstrap-start``
+    / ``bootstrap-complete`` markers carry no row and are dropped.
+
     ``with_old_keys=True`` appends ``old_repo``/``old_path`` from the
     update ``old`` object. Maxwell's ``old`` carries only the CHANGED
     columns' previous values, so an unchanged key component surfaces as
@@ -325,11 +338,18 @@ def parse_maxwell(
     """
     parsed = raw.withColumn("_env", F.from_json(F.col(value_col), _MAXWELL_SCHEMA))
     env = F.col("_env")
+    parsed = parsed.where(
+        env["type"].isNull() | ~env["type"].isin(*_MAXWELL_NON_ROW_TYPES)
+    )
     op = _op_expr(env["type"], _MAXWELL_OPS)
     img = env["data"]
-    seq = _packed_binlog_seq(
-        F.regexp_extract(env["position"], r"^(.*?):\d+$", 1),
-        F.nullif(F.regexp_extract(env["position"], r"(\d+)$", 1), F.lit("")),
+    seq = F.when(
+        env["type"] == "bootstrap-insert", F.lit(0).cast("long")
+    ).otherwise(
+        _packed_binlog_seq(
+            F.regexp_extract(env["position"], r"^(.*?):\d+$", 1),
+            F.nullif(F.regexp_extract(env["position"], r"(\d+)$", 1), F.lit("")),
+        )
     )
     ts = F.timestamp_seconds(env["ts"])
     extra = [env["table"].alias("src_table")]
@@ -1314,7 +1334,15 @@ def split_malformed(raw: DataFrame, parser=parse_debezium, value_col: str = "val
     """(clean, dlq) split in one scan: rows whose envelope failed to
     parse (null op or null seq — key/offset-less events cannot be
     ordered or applied) go to the dead-letter side with their original
-    payload, ready for replay after a producer fix."""
+    payload, ready for replay after a producer fix.
+
+    Null payloads are DROPPED before parsing, not dead-lettered: a
+    Kafka transport delivers a null-value tombstone record after every
+    delete when the connector runs with tombstones enabled (Debezium's
+    default, for log-compaction of the topic) — it carries no event,
+    only a compaction hint, and the delete itself already arrived as
+    its own envelope."""
+    raw = raw.where(F.col(value_col).isNotNull())
     parsed = parser(raw, value_col=value_col, keep_raw=True)
     bad_mask = (
         F.col("op").isNull()
