@@ -2,12 +2,15 @@
 
 Image/audio/video content is carried as ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
-``mapInPandas`` stages over Arrow batches. The decode step itself is
-STUBBED (no imaging/audio libraries in this container): by default every
-stage uses a deterministic fake decoder keyed on the payload bytes, and
-``decoder="real"`` raises NotImplementedError at the exact seam where
-PIL/ffmpeg would plug in. The Spark-side plumbing — schema, batch
-iteration, partition sizing — is real and tested.
+``mapInPandas`` stages over Arrow batches. The decode step is probed at
+use: ``decoder="real"`` decodes IMAGE payloads with PIL when it is
+installed (thumbnail-grayscale feature vector, deterministic) and
+raises NotImplementedError otherwise — the exact seam where a
+deployment's imaging stack plugs in; audio/video real decode stays a
+NotImplementedError seam (ffmpeg). The default deterministic fake
+decoder keyed on payload bytes keeps every oracle environment-
+independent. The Spark-side plumbing — schema, batch iteration,
+partition sizing — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -53,6 +56,17 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _pil():
+    """PIL.Image if installed, else None — probed at use, never at
+    module import, so the package imports identically everywhere."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in for a real decoder: a unit vector seeded
     by the payload digest. Replace with PIL/torchaudio/ffmpeg here."""
@@ -62,19 +76,48 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return v / np.linalg.norm(v)
 
 
+def _real_image_decode(payload: bytes, dim: int) -> np.ndarray:
+    """Actual image decode (PIL): grayscale thumbnail, row-major pixel
+    vector truncated to ``dim``, scaled to [0,1] and L2-normalized —
+    deterministic for a given payload, like every decoder here."""
+    from io import BytesIO
+
+    img = _pil().open(BytesIO(payload)).convert("L")
+    k = int(np.ceil(np.sqrt(dim)))
+    arr = np.asarray(img.resize((k, k)), dtype=np.float32).ravel()[:dim]
+    arr = arr / np.float32(255.0)
+    n = float(np.linalg.norm(arr))
+    return arr / np.float32(n) if n else arr
+
+
 def extract_features(
     media: DataFrame, dim: int = 16, decoder: str = "fake", batch_limit: int = 256
 ) -> DataFrame:
     """media table -> feature table via mapInPandas.
 
-    ``decoder='real'`` marks where an actual image/audio decode would
-    run; unavailable in this environment by design.
+    ``decoder='real'`` runs the PIL image decode when PIL is installed
+    (driver-probed — executors on a homogeneous cluster share the
+    environment) and raises NotImplementedError otherwise; audio/video
+    rows under the real decoder raise executor-side (the ffmpeg seam).
+    ``decoder='fake'`` (default) is the deterministic environment-
+    independent path the oracles pin.
     """
-    if decoder == "real":
+    if decoder == "real" and _pil() is None:
         raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg, not present in this "
-            "container; use decoder='fake' (deterministic) for plumbing tests"
+            "decoder='real' requires PIL (pip install pillow); this "
+            "environment does not have it — use decoder='fake' "
+            "(deterministic) for plumbing tests"
         )
+
+    def decode(kind: str, payload: bytes) -> list[float]:
+        if decoder == "real":
+            if kind == "image":
+                return _real_image_decode(payload, dim).tolist()
+            raise NotImplementedError(
+                f"real {kind} decode requires ffmpeg/torchaudio — seam "
+                "not implemented; filter kind='image' or use decoder='fake'"
+            )
+        return _fake_decode(payload, dim).tolist()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -89,7 +132,10 @@ def extract_features(
                         "payload_sha256": payloads.map(
                             lambda p: hashlib.sha256(p).hexdigest()
                         ),
-                        "feature": payloads.map(lambda p: _fake_decode(p, dim).tolist()),
+                        "feature": [
+                            decode(k, p)
+                            for k, p in zip(part["kind"], payloads)
+                        ],
                     }
                 )
 

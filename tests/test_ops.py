@@ -9,7 +9,12 @@ from chunker_spark.ops.dedup import (
     ngram_jaccard_pairs,
     simhash_expr,
 )
-from chunker_spark.ops.multimodal import extract_features, sample_frames, synthetic_media
+from chunker_spark.ops.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    sample_frames,
+    synthetic_media,
+)
 from chunker_spark.ops.similarity import brute_force_topk, lsh_bucketed_topk
 
 
@@ -118,10 +123,45 @@ def test_multimodal_plumbing(spark):
         assert r["count"] == (durs[r["media_id"]] - 1) // 1000 + 1
 
 
-def test_real_decoder_is_stubbed(spark):
+def test_real_decoder_raises_without_pil(spark):
+    """decoder='real' is an honest seam when PIL is absent (this
+    container) and activates when it is present (see
+    test_real_decoder_decodes_png)."""
+    from chunker_spark.ops.multimodal import _pil
+
+    if _pil() is not None:
+        pytest.skip("PIL installed: the seam is live, not stubbed")
     media = synthetic_media(spark, n=3)
     with pytest.raises(NotImplementedError):
         extract_features(media, decoder="real")
+
+
+def test_real_decoder_decodes_png(spark):
+    """With PIL installed, decoder='real' decodes an actual PNG through
+    the same mapInPandas plumbing: a 2x2 image whose grayscale pixels
+    are known decodes to exactly the normalized pixel vector."""
+    pil = pytest.importorskip("PIL.Image", reason="PIL not installed")
+    import io
+
+    import numpy as np
+
+    img = pil.new("L", (2, 2))
+    img.putdata([0, 85, 170, 255])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), None)], MEDIA_SCHEMA
+    )
+    [row] = extract_features(media, dim=4, decoder="real").collect()
+    want = np.array([0, 85, 170, 255], dtype=np.float32) / 255.0
+    want = want / np.linalg.norm(want)
+    assert np.allclose(row["feature"], want, atol=1e-6)
+    # audio/video rows stay a seam even with PIL present
+    vid = spark.createDataFrame(
+        [(2, "video", bytearray(b"xx"), None)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        extract_features(vid, decoder="real").collect()
 
 
 def test_text_functions(spark):
