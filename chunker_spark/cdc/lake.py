@@ -351,7 +351,7 @@ class LakeTable:
 
     # ---- writes ----------------------------------------------------
 
-    def _write_snap(self, rows: DataFrame, n_parts: int, seq: int, tag: str) -> dict[str, list[str]]:
+    def _write_snap(self, rows: DataFrame, seq: int, tag: str) -> dict[str, list[str]]:
         snap_dir = f"{self.root}/data/snap-{seq:012d}-{tag}"
         out = rows.withColumn("__bucket", bucket_expr(self.num_buckets))
         # cluster rows by key within each file: repeated repo/path values
@@ -360,8 +360,15 @@ class LakeTable:
         # range (file_stats) is a tight pruning bound. __bucket leads
         # the sort so it already satisfies partitionBy's required
         # ordering — otherwise the writer inserts its own (unstable)
-        # sort by __bucket and destroys the key order
-        out.repartition(max(n_parts, 1), "__bucket").sortWithinPartitions(
+        # sort by __bucket and destroys the key order.
+        # No explicit partition count: AQE sizes the exchange from the
+        # batch's real bytes (guide §2/§6 — scale-adaptive, and output
+        # files track the advisory partition size), where a fixed
+        # n_parts burned one near-empty task per bucket on micro-batches
+        # and couldn't grow past num_buckets on snapshots. Bucket
+        # boundaries stay exact: the writer splits files by the
+        # partitionBy value, and a bucket's rows hash to one partition.
+        out.repartition("__bucket").sortWithinPartitions(
             "__bucket", "repo", "path", "seq"
         ).write.partitionBy("__bucket").mode("overwrite").parquet(snap_dir)
         files: dict[str, list[str]] = {}
@@ -408,20 +415,29 @@ class LakeTable:
         touched_buckets: list[int] | None,
         batch_id: str,
         stats: dict | None = None,
+        stats_fn=None,
     ) -> dict:
         """MERGE commit: append the batch's upserts + tombstones as new
         delta files; compact any bucket whose file count exceeds the
         threshold. Write volume: O(batch) + amortized compaction.
         ``touched_buckets=None`` derives the touched set from the files
-        the write actually produced (saves a pre-pass over the batch)."""
+        the write actually produced (saves a pre-pass over the batch).
+
+        ``stats_fn``: optional ``callable(touched_buckets) -> dict``
+        invoked right after the delta files land and BEFORE the commit
+        JSON is renamed into place — so an Observation attached to
+        ``delta_rows`` has resolved, and ``current_commit()`` still
+        names the PRIOR state (lineage joins against old state read
+        consistently). Its result is merged over ``stats``."""
         prev = self.current_commit()
         seq = (prev["commit_seq"] + 1) if prev else 0
         files = {k: list(v) for k, v in (prev["files"] if prev else {}).items()}
 
-        n_parts = len(touched_buckets) if touched_buckets is not None else self.num_buckets
-        new_files = self._write_snap(delta_rows, n_parts, seq, "delta")
+        new_files = self._write_snap(delta_rows, seq, "delta")
         if touched_buckets is None:
             touched_buckets = sorted(int(b) for b in new_files)
+        if stats_fn is not None:
+            stats = {**(stats or {}), **stats_fn(list(touched_buckets))}
         for b, fl in new_files.items():
             files.setdefault(b, [])
             files[b].extend(fl)
@@ -442,7 +458,7 @@ class LakeTable:
                 base = base.where(
                     ~F.col("deleted") | (F.col("seq") >= F.lit(self.tombstone_horizon))
                 )
-            compacted = self._write_snap(base, len(over), seq, "compact")
+            compacted = self._write_snap(base, seq, "compact")
             for b in over:
                 files[str(b)] = compacted.get(str(b), [])
 
@@ -528,7 +544,7 @@ class LakeTable:
         # bucket count the table's files don't use (split-hash
         # corruption, mis-pruned bucket reads)
         try:
-            files = self._write_snap(rows, new_num_buckets, seq, "rebucket")
+            files = self._write_snap(rows, seq, "rebucket")
             file_stats: dict[str, list[str | None]] = _file_key_ranges(
                 sorted(p for fl in files.values() for p in fl)
             )

@@ -90,11 +90,23 @@ def last_writer_wins(events: DataFrame, broadcast_winners: bool = True) -> DataF
     )
 
 
-def salted_repartition(df: DataFrame, partitions: int, salt_buckets: int = 8) -> DataFrame:
+def salted_repartition(
+    df: DataFrame, partitions: int | None = None, salt_buckets: int = 8
+) -> DataFrame:
     """Spread hot (repo, path) keys across ``salt_buckets`` partitions
     for the chunking stage; salt is derived from ``commit`` so replays
-    place rows identically."""
+    place rows identically.
+
+    ``partitions=None`` (default) omits the explicit partition count so
+    AQE sizes the exchange from the batch's actual bytes (guide §2:
+    scale-adaptive partitioning, not a constant tuned to one cluster) —
+    a small micro-batch coalesces to a handful of UDF tasks instead of
+    paying ``defaultParallelism`` Arrow round-trips, while a large batch
+    still fans out to advisory-sized partitions. Pass an explicit count
+    to pin the layout (tests, ingest-bench parallelism sweeps)."""
     salt = F.pmod(F.xxhash64(F.coalesce(F.col("commit"), F.lit(""))), F.lit(salt_buckets))
+    if partitions is None:
+        return df.repartition(F.col("repo"), F.col("path"), salt)
     return df.repartition(partitions, F.col("repo"), F.col("path"), salt)
 
 
@@ -146,9 +158,8 @@ def apply_batch(
     # through as null. Cached only when the metrics path needs several
     # passes — the hot path is a single write action and caching it
     # would serialize every row into the memory store for nothing.
-    parts = udf_partitions or spark.sparkContext.defaultParallelism
     batch = with_manifest(
-        salted_repartition(last_writer_wins(events, broadcast_winners=use_broadcast), parts),
+        salted_repartition(last_writer_wins(events, broadcast_winners=use_broadcast), udf_partitions),
         params=params,
     )
     if collect_metrics:
@@ -165,60 +176,85 @@ def apply_batch(
         )
 
         if collect_metrics:
-            # ONE combined aggregate replaces the former three separate
-            # metric actions (per-bucket count, upsert volume sums,
-            # delete count — VERDICT r4 "What's wrong" #1): group by
-            # bucket with conditional sums, collect <= num_buckets tiny
-            # rows, and derive both the skew map and the batch volumes
-            # driver-side. This also materializes the cache, so the
-            # reuse join and the delta write below re-read memory.
-            nb = lake.num_buckets
-            is_up = F.col("op") != "D"
-            brows = (
-                batch.groupBy(bucket_expr(nb).alias("b"))
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum(is_up.cast("long")).alias("up_rows"),
-                    F.coalesce(F.sum(F.when(is_up, F.col("size"))), F.lit(0)).alias("up_bytes"),
-                    F.coalesce(F.sum(F.when(is_up, F.size("manifest"))), F.lit(0)).alias("up_chunks"),
-                )
-                .collect()
-            )
-            per_bucket = {int(r["b"]): int(r["n"]) for r in brows}
-            touched = sorted(per_bucket)
-            stats = {
-                "upsert_rows": sum(int(r["up_rows"]) for r in brows),
-                "upsert_bytes": sum(int(r["up_bytes"]) for r in brows),
-                "upsert_chunks": sum(int(r["up_chunks"]) for r in brows),
-                "delete_rows": sum(int(r["n"]) - int(r["up_rows"]) for r in brows),
-                "keys_per_bucket": {str(b): n for b, n in per_bucket.items()},
-                "lww_strategy": "broadcast" if use_broadcast else "shuffle",
-            }
-            # chunk-reuse lineage compares only against prior versions
-            # of THIS batch's keys, so prune the old-state read to them
-            # BEFORE resolution: a broadcast semi-join on the key set
-            # keeps the metrics path O(batch keys' history) instead of
-            # O(touched buckets' full table data) — without it the
-            # lineage stats re-scan and re-resolve ever more table per
-            # batch as buckets fill (measured ~85s/1.6M events extra at
-            # local[1] on an un-pruned read; see BENCH/BASELINE.md r3)
+            # The metric sums RIDE the delta write via an Observation
+            # (CollectMetrics): per-bucket counts + conditional volume
+            # sums are collected as a side effect of the one write
+            # action instead of a separate aggregate job (the former
+            # dedicated collect was itself the r4 fix for THREE metric
+            # actions; this removes the remaining one — guide §1.2,
+            # fewer passes). The write also materializes the cache, so
+            # the chunk-reuse join below re-reads memory.
+            from pyspark.sql import Observation
+
             from .lake import resolve_state
 
-            batch_keys = batch.select(*KEY_COLS).distinct()
-            # gate the broadcast on the SAME cardinality decision the
-            # LWW stage made: a >threshold-key batch already chose the
-            # shuffle path precisely because its key set cannot safely
-            # transit the driver — broadcasting it here would reopen
-            # that exact blowup. Shuffle semi-join in that regime.
-            if use_broadcast:
-                batch_keys = F.broadcast(batch_keys)
-            old_state = resolve_state(
-                lake.read_files(buckets=touched).join(
-                    batch_keys, list(KEY_COLS), "left_semi"
-                )
+            nb = lake.num_buckets
+            is_up = ~F.col("deleted")
+            obs = Observation()
+            delta = delta.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(is_up.cast("long")).alias("up_rows"),
+                F.coalesce(F.sum(F.when(is_up, F.col("size"))), F.lit(0)).alias("up_bytes"),
+                F.coalesce(F.sum(F.when(is_up, F.size("manifest"))), F.lit(0)).alias("up_chunks"),
+                *[
+                    F.sum((bucket_expr(nb) == b).cast("long")).alias(f"b{b}")
+                    for b in range(nb)
+                ],
             )
-            stats["reused_chunks"] = _reused_chunks(batch.where(is_up), old_state)
-            commit = lake.append_delta(delta, touched, str(batch_id), stats=stats)
+
+            def _finish_stats(touched: list[int]) -> dict:
+                """Runs inside append_delta AFTER the delta files land
+                (observation resolved, touched buckets known) and BEFORE
+                the commit JSON is written — the prior commit still
+                defines the old state for the reuse join."""
+                vals = {k: int(v or 0) for k, v in obs.get.items()}  # empty batch: sums observe as null
+                per_bucket = {b: vals[f"b{b}"] for b in range(nb) if vals[f"b{b}"]}
+                stats = {
+                    "upsert_rows": vals["up_rows"],
+                    "upsert_bytes": vals["up_bytes"],
+                    "upsert_chunks": vals["up_chunks"],
+                    "delete_rows": vals["n"] - vals["up_rows"],
+                    "keys_per_bucket": {str(b): n for b, n in sorted(per_bucket.items())},
+                    "lww_strategy": "broadcast" if use_broadcast else "shuffle",
+                }
+                # chunk-reuse lineage compares only against prior
+                # versions of THIS batch's keys, so prune the old-state
+                # read to them BEFORE resolution: a broadcast semi-join
+                # on the key set keeps the metrics path O(batch keys'
+                # history) instead of O(touched buckets' full table
+                # data) — without it the lineage stats re-scan and
+                # re-resolve ever more table per batch as buckets fill
+                # (measured ~85s/1.6M events extra at local[1] on an
+                # un-pruned read; see BENCH/BASELINE.md r3). A first
+                # commit has no prior files at all: reuse is 0 by
+                # definition, no job launched.
+                if lake._files_for(lake.current_commit(), touched):
+                    old_files = lake.read_files(buckets=touched)
+                    # no distinct(): batch is post-LWW, one row per key
+                    # by construction — the former distinct was a pure
+                    # extra shuffle, and a semi-join build side needs no
+                    # dedup anyway
+                    batch_keys = batch.select(*KEY_COLS)
+                    # gate the broadcast on the SAME cardinality decision
+                    # the LWW stage made: a >threshold-key batch already
+                    # chose the shuffle path precisely because its key
+                    # set cannot safely transit the driver —
+                    # broadcasting it here would reopen that exact
+                    # blowup. Shuffle semi-join in that regime.
+                    if use_broadcast:
+                        batch_keys = F.broadcast(batch_keys)
+                    old_state = resolve_state(
+                        old_files.join(batch_keys, list(KEY_COLS), "left_semi")
+                    )
+                    stats["reused_chunks"] = _reused_chunks(
+                        batch.where(F.col("op") != "D"), old_state
+                    )
+                else:
+                    stats["reused_chunks"] = 0
+                return stats
+
+            commit = lake.append_delta(delta, None, str(batch_id), stats_fn=_finish_stats)
         else:
             # hot path: ONE Spark job per batch — the delta write itself
             # materializes the cache; touched buckets are read back from

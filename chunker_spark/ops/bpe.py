@@ -80,21 +80,87 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(words).groupBy("word").agg(F.count(F.lit(1)).alias("count"))
 
 
+def _train_bpe_local(
+    syms_counts: list[tuple[list[str], int]], num_merges: int, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """Driver-side trainer over a COLLECTED word-type table — the exact
+    same recurrence as the distributed loop (positional adjacent-pair
+    counting weighted by word count; argmax tie-break count desc then
+    pair lexicographic asc, which matches Spark's binary-UTF8 string
+    order because UTF-8 byte order preserves code-point order; merge
+    application is the leftmost-first fold of ``_apply_merge`` with the
+    merged token as new left context). Equality of the learned merge
+    sequence against the distributed path is pinned in tests."""
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in syms_counts:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < min_pair_count:
+            break
+        merges.append((a, b))
+        nxt: list[tuple[list[str], int]] = []
+        for syms, c in syms_counts:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            nxt.append((out, c))
+        syms_counts = nxt
+    return merges
+
+
 def train_bpe(
     docs: DataFrame,
     text_col: str = "text",
     num_merges: int = 32,
     min_pair_count: int = 2,
+    driver_type_threshold: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn up to ``num_merges`` BPE merges from the corpus; stops
     early when no adjacent pair reaches ``min_pair_count`` weighted
-    occurrences. Returns the ordered merge list."""
+    occurrences. Returns the ordered merge list.
+
+    The merge loop is inherently sequential, and after the one corpus
+    pass the ONLY iterated state is the word-TYPE frame. When that
+    frame fits under ``driver_type_threshold`` rows it is collected
+    once and the iterations run driver-side (``_train_bpe_local``):
+    one Spark job total instead of ~2 per merge — the same
+    bounded-collect pattern as the IVF k-means fit. A corpus whose
+    type table exceeds the threshold (or ``driver_type_threshold=0``)
+    takes the distributed loop, whose per-iteration cost stays
+    O(word types); there the re-materialization each iteration is a
+    LAZY localCheckpoint folded into the next argmax job (half the
+    actions of the former eager checkpoints, and the final iteration's
+    frame — which nothing reads — is never materialized at all)."""
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    if driver_type_threshold:
+        head = (
+            word_frequencies(docs, text_col)
+            .limit(driver_type_threshold + 1)
+            .collect()
+        )
+        if len(head) <= driver_type_threshold:
+            return _train_bpe_local(
+                [(list(r["word"]), int(r["count"])) for r in head],
+                num_merges,
+                min_pair_count,
+            )
+        # type table larger than the bound: fall through (the partial
+        # head is discarded — a truncated type table would train a
+        # DIFFERENT tokenizer, never acceptable silently)
     wf = (
         word_frequencies(docs, text_col)
         .select(_chars("word").alias("syms"), "count")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -125,8 +191,11 @@ def train_bpe(
         a, b = top[0]["p"]["a"], top[0]["p"]["b"]
         merges.append((a, b))
         prev = wf
+        # lazy: materializes inside the NEXT iteration's argmax job
+        # (module docstring step 3 still holds — lineage is truncated
+        # before another merge stacks on top)
         wf = wf.select(_apply_merge(F.col("syms"), a, b).alias("syms"), "count")
-        wf = wf.localCheckpoint(eager=True)  # see module docstring step 3
+        wf = wf.localCheckpoint(eager=False)
         prev.unpersist()  # bound block-manager storage to 2 generations
     return merges
 

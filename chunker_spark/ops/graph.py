@@ -43,8 +43,9 @@ def connected_components(
     ``stats_out``: optional list; one dict per round is appended with
     {round, changed, seconds} plus a final summary {sym_edges, nodes}
     — the scale-probe instrumentation (per-round shuffle volume is
-    sym_edges + 2·nodes fixed-width rows: the neighbor join, the jump
-    join, and the convergence anti-join).
+    sym_edges + 2·nodes fixed-width rows: the neighbor join and the
+    jump join; the convergence check is a filter+count over the
+    round's checkpointed labels, shuffle-free).
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -57,6 +58,12 @@ def connected_components(
         .agg(F.min("b").alias("mn"))
         .select(F.col("a").alias("node"), F.least("a", "mn").alias("comp"))
     )
+    # seeds stay EAGER: both frames are referenced several times inside
+    # the first round's single job (neighbor join, jump self-join,
+    # label base) — a lazy checkpoint there lets concurrent stages race
+    # to compute the same RDD before its blocks land (measured ~2x
+    # round-1 cost when tried). The per-ROUND checkpoint below is lazy:
+    # referenced once by the convergence count that materializes it.
     edges_cur = sym.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
     if stats_out is not None:
@@ -77,22 +84,27 @@ def connected_components(
         # pointer jump: my label's own label (path compression) — turns
         # O(diameter) propagation into O(log diameter)
         jump = labels.select(F.col("node").alias("jn"), F.col("comp").alias("jc"))
-        new_labels = (
+        # ONE action per round (was two): the previous label rides the
+        # checkpointed frame as ``prev``, so the convergence check is a
+        # filter+count over the just-materialized blocks — no join back
+        # against the old generation, and the lazy checkpoint
+        # materializes inside that same count job.
+        stepped = (
             labels.join(jump, labels["comp"] == jump["jn"], "left")
-            .select("node", F.least("comp", F.coalesce("jc", "comp")).alias("comp"))
+            .select(
+                "node",
+                F.col("comp").alias("prev"),
+                F.least("comp", F.coalesce("jc", "comp")).alias("comp"),
+            )
             .join(with_nbr.withColumnRenamed("a", "node"), "node", "left")
             .select(
                 "node",
+                "prev",
                 F.least("comp", F.coalesce("nbr_min", "comp")).alias("comp"),
             )
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        ).localCheckpoint(eager=False)
+        changed = stepped.where(F.col("comp") != F.col("prev")).count()
+        labels = stepped.select("node", "comp")
         if stats_out is not None:
             stats_out.append(
                 {"round": it, "changed": changed, "seconds": round(_time.monotonic() - t0, 3)}

@@ -58,11 +58,14 @@ def unigram_model(
     )
     # the corpus-wide explode+aggregate runs ONCE: the V-row vocab is
     # checkpointed, so the totals collect below, the <oov> lookup and
-    # the scoring join all read V cached rows, never the corpus again
+    # the scoring join all read V cached rows, never the corpus again.
+    # Lazy checkpoint: the totals collect right below materializes it —
+    # one job where the eager form paid a dedicated checkpoint action
+    # first (guide §1.2: fewer passes)
     vocab = (
         counts.orderBy(F.desc("tf"), F.asc("word"))
         .limit(vocab_size)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     totals = vocab.agg(
         F.sum("tf").alias("n"), F.count(F.lit(1)).alias("v")
@@ -90,19 +93,36 @@ def lm_cross_entropy(
     the ``<oov>`` probability). Lower = more corpus-typical. Documents
     with zero words are dropped (no defined score). The model side
     broadcasts; per-word decimal sums are exact, so scores are
-    engine-portable."""
-    oov_row = model.where(F.col("word") == "<oov>").collect()
-    if not oov_row:
-        raise ValueError("model has no <oov> row — fit with unigram_model")
-    oov_logp = oov_row[0]["logp"]
+    engine-portable.
+
+    The ``<oov>`` probability is attached as a broadcast 1-row cross
+    join instead of a driver collect — no extra Spark action just to
+    read one scalar; a model missing its ``<oov>`` row fails loudly at
+    execution via ``raise_error`` (it would otherwise silently score
+    OOV words as null)."""
+    oov1 = (
+        model.where(F.col("word") == "<oov>")
+        .select(F.col("logp").alias("__oov_logp"))
+        .limit(1)
+    )
     tokens = df.select(
         F.col(id_col), F.explode(_words(text_col)).alias("word")
     )
-    scored = tokens.join(
-        F.broadcast(model.where(F.col("word") != "<oov>")), "word", "left"
-    ).select(
-        id_col,
-        F.coalesce(F.col("logp"), F.lit(oov_logp).cast("decimal(20,6)")).alias("logp"),
+    scored = (
+        tokens.join(
+            F.broadcast(model.where(F.col("word") != "<oov>")), "word", "left"
+        )
+        .join(F.broadcast(oov1), F.lit(True), "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("logp"),
+                F.col("__oov_logp"),
+                F.raise_error(
+                    "model has no <oov> row — fit with unigram_model"
+                ).cast("decimal(20,6)"),
+            ).alias("logp"),
+        )
     )
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),

@@ -1226,13 +1226,15 @@ def test_window_count_guards(spark, tmp_path):
 
 
 def test_metrics_path_two_actions_and_exact_values(spark, tmp_path, monkeypatch):
-    """VERDICT r4 "What's wrong" #1: the metrics path must cost exactly
-    TWO driver actions beyond the delta write — one combined per-bucket
-    aggregate (skew map + upsert/delete volumes) and one chunk-reuse
-    join — not the former four. Counted at the DataFrame API level
-    (collect/count/toPandas), which is deterministic under AQE where
-    job counts are not. Values are checked against an independent
-    driver-side LWW recomputation of the same events."""
+    """Metrics-path driver-action budget (r4 fixed four actions down to
+    two; r6 rides the volume sums on the delta write itself via an
+    Observation): a FIRST commit must cost ZERO driver actions beyond
+    the delta write (no prior state — chunk reuse is 0 by definition),
+    and a follow-up commit exactly ONE (the chunk-reuse join). Counted
+    at the DataFrame API level (collect/count/toPandas), which is
+    deterministic under AQE where job counts are not. Values are
+    checked against an independent driver-side LWW recomputation of
+    the same events."""
     # patch the concrete class — pyspark 4's classic DataFrame overrides
     # the base-class methods, so patching pyspark.sql.DataFrame is a no-op
     from pyspark.sql.classic.dataframe import DataFrame
@@ -1250,10 +1252,11 @@ def test_metrics_path_two_actions_and_exact_values(spark, tmp_path, monkeypatch)
     monkeypatch.setattr(DataFrame, "toPandas", lambda s: (actions.append("toPandas"), orig_topandas(s))[1])
 
     commits = {}
+    expected = {"b0": [], "b1": ["count"]}
     for b, _ in batches:
         n0 = len(actions)
         commits[b] = apply_batch(lake, dfs[b], b, params=PARAMS)
-        assert actions[n0:] == ["collect", "count"], f"batch {b}: {actions[n0:]}"
+        assert actions[n0:] == expected[b], f"batch {b}: {actions[n0:]}"
 
     monkeypatch.undo()
 

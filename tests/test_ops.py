@@ -1197,6 +1197,28 @@ def test_bpe_trainer_matches_scalar_reference(spark):
     assert train_bpe(solo, num_merges=5) == []
 
 
+def test_bpe_trainer_driver_and_distributed_paths_agree(spark):
+    """r6 optimization contract: the threshold-gated driver-side
+    trainer (one collect, iterations in-process) and the distributed
+    explode/groupBy loop (forced via driver_type_threshold=0) must
+    learn the IDENTICAL merge sequence — including ties, overlapping
+    pairs, and the early-stop rule."""
+    from chunker_spark.ops.bpe import train_bpe
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "aaaa aaa aa aaaa",
+        "tie tei tie tei",  # count ties -> lexicographic pair order decides
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    driver = train_bpe(docs, num_merges=10)  # type table << threshold
+    dist = train_bpe(docs, num_merges=10, driver_type_threshold=0)
+    assert driver == dist and len(driver) > 0
+
+
 def test_bpe_encode_tokenizer_matches_jvm_on_unicode_whitespace(spark):
     """The encoder must tokenize EXACTLY like the JVM's \\s+ (ASCII):
     a non-breaking space is NOT a separator, so 'a\\xa0b' is one word —
