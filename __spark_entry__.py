@@ -738,10 +738,19 @@ def q_simhash(spark, sf):
     d = _t(spark, sf, "documents")
     words = F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda w: w != "")
     reversed_text = F.concat_ws(" ", F.reverse(words))
-    return d.select(
+    # two-step projection so the base hash is evaluated ONCE (it
+    # appears in both invariant comparisons — inlined it would run 4
+    # simhash evaluations per doc instead of 3)
+    h = d.select(
         "doc_id",
-        (simhash_expr("text") == simhash_expr(reversed_text)).alias("order_invariant"),
-        (simhash_expr("text") == simhash_expr(F.upper(F.col("text")))).alias("case_invariant"),
+        simhash_expr("text").alias("h_base"),
+        simhash_expr(reversed_text).alias("h_rev"),
+        simhash_expr(F.upper(F.col("text"))).alias("h_up"),
+    )
+    return h.select(
+        "doc_id",
+        (F.col("h_base") == F.col("h_rev")).alias("order_invariant"),
+        (F.col("h_base") == F.col("h_up")).alias("case_invariant"),
     )
 
 

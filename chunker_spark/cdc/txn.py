@@ -105,10 +105,15 @@ class TxnGate:
         is a one-column (``txn_id``) frame of this batch's commit
         records. Both are localCheckpointed here: each is consumed by
         two downstream sinks (release + pending snapshot), and a
-        micro-batch source must not be re-scanned per action.
+        micro-batch source must not be re-scanned per action. The
+        checkpoints are LAZY: the pending-snapshot write below is the
+        first action and references each frame exactly once, so it
+        materializes both in its own job (no race, no dedicated
+        checkpoint actions); the release sink then reads the persisted
+        blocks — the source is still scanned exactly once.
         """
-        evs = events.localCheckpoint(eager=True)
-        cms = commits.select("txn_id").distinct().localCheckpoint(eager=True)
+        evs = events.localCheckpoint(eager=False)
+        cms = commits.select("txn_id").distinct().localCheckpoint(eager=False)
         prior = self.pending(batch_id)
         all_evs = prior.unionByName(evs) if prior is not None else evs
         unframed = all_evs.where(F.col("txn_id").isNull())

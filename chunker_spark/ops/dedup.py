@@ -371,6 +371,16 @@ def simhash_expr(text_col, bits: int = 64) -> F.Column:
     hash is a pure function of the lowercased word MULTISET — word
     order and letter case cannot change it (the SQL-checkable
     invariants used by the simhash query oracle).
+
+    Formulation note (r6): the textbook per-word ±1 counter fold
+    (``aggregate`` over words building a ``bits``-wide array per step)
+    allocates two 64-element arrays PER WORD in Spark's interpreted
+    higher-order-function evaluator. The majority vote is computed
+    per BIT instead: bit i is set iff ``2·|{w : h(w)&m_i ≠ 0}| >
+    |words|`` — algebraically identical (the ±1 sum is positive iff
+    set-bit words outnumber half), but it allocates O(bits) arrays per
+    DOCUMENT and was measured ~2× faster at 5k docs. Same values
+    bit-for-bit (known-answer tests pin them).
     """
     masks = F.array(
         *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(bits)]
@@ -378,20 +388,14 @@ def simhash_expr(text_col, bits: int = 64) -> F.Column:
     text = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.filter(F.split(F.lower(text), r"\W+"), lambda w: w != "")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
-    counters = F.aggregate(
-        hashes,
-        F.array(*[F.lit(0)] * bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)),
-            lambda a, b: a + b,
-        ),
-    )
     return F.aggregate(
-        F.zip_with(
-            counters,
+        F.transform(
             masks,
-            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
+            lambda m: F.when(
+                F.size(F.filter(hashes, lambda h: h.bitwiseAND(m) != 0)) * 2
+                > F.size(hashes),
+                m,
+            ).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc.bitwiseXOR(v),
