@@ -594,8 +594,13 @@ def containment_pairs(
             F.least("l.id", "r.id").alias("id_a"),
             F.greatest("l.id", "r.id").alias("id_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if float(threshold) < 1.0:
+        # at threshold >= 1 the probe side is exactly ONE (minimal)
+        # gram per doc and a doc's grams are distinct, so each pair can
+        # arise only once — the dedup would be a pure extra
+        # Exchange+aggregate over the candidate set
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     return (
         cand.join(g.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")), "id_a")
         .join(g.select(F.col("id").alias("id_b"), F.col("grams").alias("gb")), "id_b")
