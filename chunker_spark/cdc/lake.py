@@ -77,13 +77,23 @@ def _file_key_ranges(paths: list[str]) -> dict[str, list[str | None]]:
 
 def resolve_state(files_df: DataFrame, drop_tombstones: bool = True) -> DataFrame:
     """Merge-on-read resolution: last writer (max seq) per key, then
-    drop tombstones. One hash aggregate; map-side combine bounds the
-    per-file duplicates before the shuffle."""
-    payload = F.struct(*[F.col(c) for c in files_df.columns])
+    drop tombstones. One aggregate; map-side combine bounds the
+    per-file duplicates before the shuffle.
+
+    The key columns stay GROUPING columns in the output (only non-key
+    fields ride the max_by struct): extracting keys back out of the
+    struct would mint fresh attribute ids, and every downstream
+    key-equi-join (the CDF diff, the lineage reuse join) would then
+    re-Exchange what is already hash-partitioned by key — the plan
+    audit showed one redundant Exchange per resolve consumer (guide
+    §2.4: two operations keyed the same way share one exchange). Also
+    ~key-width fewer bytes per shuffled row."""
+    other = [c for c in files_df.columns if c not in KEY_COLS]
+    payload = F.struct(*[F.col(c) for c in other])
     resolved = (
         files_df.groupBy(*KEY_COLS)
         .agg(F.max_by(payload, F.col("seq")).alias("r"))
-        .select("r.*")
+        .select(*KEY_COLS, *[F.col(f"r.{c}").alias(c) for c in other])
     )
     if drop_tombstones:
         resolved = resolved.where(~F.col("deleted"))
@@ -304,50 +314,64 @@ class LakeTable:
             .when(F.col("new_seq").isNull() & old_live, "delete")  # aged out entirely
         )
         changed = j.withColumn("_change_type", change).where(F.col("_change_type").isNotNull())
+        payload_cols = [f.name for f in TABLE_SCHEMA.fields]
+        if not include_preimages:
+            # Single-subtree shape: the former two-branch union
+            # (upserts inner-joined to visible keys + deletes projected
+            # from the diff) referenced the diff twice, and Catalyst
+            # planned the whole full-outer resolve subtree PER branch.
+            # One LEFT payload join onto ALL changed rows instead:
+            # delete rows null their payload conditionally (an aged-out
+            # key is absent from the new state and nulls naturally),
+            # and both join inputs are already hash-partitioned by key
+            # from the resolves, so no new Exchange appears.
+            is_del = F.col("_change_type") == "delete"
+            npay = new_res.drop("deleted").withColumnRenamed("seq", "__nseq")
+            return changed.join(npay, list(KEY_COLS), "left").select(
+                *KEY_COLS,
+                *[
+                    F.when(is_del, F.lit(None).cast(TABLE_SCHEMA[c].dataType))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    for c in payload_cols
+                    if c not in KEY_COLS
+                ],
+                F.when(is_del, F.coalesce(F.col("new_seq"), F.col("old_seq")))
+                .otherwise(F.col("__nseq"))
+                .alias("seq"),
+                F.col("_change_type"),
+            )
         visible = changed.where(F.col("_change_type") != "delete").select(
             *KEY_COLS, "_change_type"
         )
-        payload_cols = [f.name for f in TABLE_SCHEMA.fields]
         upserts = new_res.join(visible, list(KEY_COLS), "inner").select(
             *payload_cols, F.col("seq"), F.col("_change_type")
         )
-        if include_preimages:
-            # OLD payloads, joined back for the changed keys only: the
-            # update_preimage companion rows plus the pre-delete values
-            # on delete rows (Delta CDF emits both; a retraction-based
-            # consumer subtracts the preimage and adds the postimage)
-            pre_keys = changed.where(
-                F.col("_change_type").isin("update_postimage", "delete")
-            ).select(*KEY_COLS, "_change_type")
-            old_payloads = old_res.join(pre_keys, list(KEY_COLS), "inner")
-            preimages = old_payloads.where(
-                F.col("_change_type") == "update_postimage"
-            ).select(
-                *payload_cols, F.col("seq"), F.lit("update_preimage").alias("_change_type")
-            )
-            deletes = old_payloads.where(F.col("_change_type") == "delete").select(
-                *payload_cols, F.col("seq"), F.col("_change_type")
-            )
-            # column-metadata marker: retraction-based consumers
-            # (ops/incremental.update_window_counts) refuse a feed
-            # without it — a preimage-less interval corrupts their
-            # state silently, so the misuse must be loud
-            return (
-                upserts.unionByName(preimages)
-                .unionByName(deletes)
-                .withMetadata("_change_type", {"cdf_preimages": True})
-            )
-        deletes = changed.where(F.col("_change_type") == "delete").select(
-            *KEY_COLS,
-            *[
-                F.lit(None).cast(f.dataType).alias(f.name)
-                for f in TABLE_SCHEMA.fields
-                if f.name not in KEY_COLS
-            ],
-            F.coalesce(F.col("new_seq"), F.col("old_seq")).alias("seq"),
-            F.col("_change_type"),
+        # OLD payloads, joined back for the changed keys only: the
+        # update_preimage companion rows plus the pre-delete values
+        # on delete rows (Delta CDF emits both; a retraction-based
+        # consumer subtracts the preimage and adds the postimage)
+        pre_keys = changed.where(
+            F.col("_change_type").isin("update_postimage", "delete")
+        ).select(*KEY_COLS, "_change_type")
+        old_payloads = old_res.join(pre_keys, list(KEY_COLS), "inner")
+        preimages = old_payloads.where(
+            F.col("_change_type") == "update_postimage"
+        ).select(
+            *payload_cols, F.col("seq"), F.lit("update_preimage").alias("_change_type")
         )
-        return upserts.unionByName(deletes)
+        deletes = old_payloads.where(F.col("_change_type") == "delete").select(
+            *payload_cols, F.col("seq"), F.col("_change_type")
+        )
+        # column-metadata marker: retraction-based consumers
+        # (ops/incremental.update_window_counts) refuse a feed
+        # without it — a preimage-less interval corrupts their
+        # state silently, so the misuse must be loud
+        return (
+            upserts.unionByName(preimages)
+            .unionByName(deletes)
+            .withMetadata("_change_type", {"cdf_preimages": True})
+        )
 
     # ---- writes ----------------------------------------------------
 

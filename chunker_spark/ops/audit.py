@@ -145,27 +145,23 @@ def repair_events(
     when feeding ``apply_batch``; the lowercase defaults suit
     Debezium-style consumers and the DuckDB oracle.
 
-    Scale shape: the diff is the fixed-width join of ``table_diff``;
-    source payloads are then fetched ONLY for the repair keys via a
-    left-semi join — at a healthy steady state the repair set is tiny
-    relative to the table and AQE turns that semi join into a broadcast
-    on its own (no forced hint here: after a catastrophic divergence
-    the repair set is the table, and a forced broadcast would be the
-    bug, not the fix).
+    Scale shape: the diff is the fixed-width join of ``table_diff``,
+    computed ONCE — a single left join against the source then attaches
+    payloads to the upsert classes (``only_right`` keys are absent from
+    the source by definition, so the outer join yields their null
+    payload for free). The former two-branch union referenced the diff
+    twice, and Catalyst duplicated the whole full-outer subtree per
+    branch — two extra Exchanges and a second full diff per run. At a
+    healthy steady state the repair set is tiny relative to the table
+    and AQE turns the payload join into a broadcast on its own (no
+    forced hint here: after a catastrophic divergence the repair set is
+    the table, and a forced broadcast would be the bug, not the fix).
     """
     d = table_diff(source, sink, key_cols, compare_cols)
-    ups_keys = d.where(
-        F.col("diff_kind").isin("only_left", "mismatch")
-    ).select(*key_cols)
-    ups = source.join(ups_keys, key_cols, "left_semi").select(
-        *key_cols, *compare_cols, F.lit(upsert_op).alias(op_col)
-    )
-    dels = d.where(F.col("diff_kind") == "only_right").select(
+    src = source.select(*key_cols, *compare_cols)
+    is_del = F.col("diff_kind") == "only_right"
+    return d.join(src, key_cols, "left").select(
         *key_cols,
-        *[
-            F.lit(None).cast(source.schema[c].dataType).alias(c)
-            for c in compare_cols
-        ],
-        F.lit(delete_op).alias(op_col),
+        *compare_cols,
+        F.when(is_del, F.lit(delete_op)).otherwise(F.lit(upsert_op)).alias(op_col),
     )
-    return ups.unionByName(dels)
