@@ -113,7 +113,10 @@ class TxnGate:
         blocks — the source is still scanned exactly once.
         """
         evs = events.localCheckpoint(eager=False)
-        cms = commits.select("txn_id").distinct().localCheckpoint(eager=False)
+        # no distinct(): both consumers are semi/anti joins, for which
+        # build-side duplicates are harmless — the distinct was a pure
+        # extra shuffle per micro-batch
+        cms = commits.select("txn_id").localCheckpoint(eager=False)
         prior = self.pending(batch_id)
         all_evs = prior.unionByName(evs) if prior is not None else evs
         unframed = all_evs.where(F.col("txn_id").isNull())

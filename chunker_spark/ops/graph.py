@@ -51,21 +51,24 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
     )
-    # symmetric neighbor list seed: label(x) = min(x, min neighbor)
+    # symmetric neighbor list seed: label(x) = min(x, min neighbor).
+    # Checkpoint edges FIRST and derive the label seed from the
+    # CHECKPOINTED frame — deriving both from `sym` re-ran the whole
+    # upstream edge pipeline (often a window/explode over raw pairs)
+    # once per seed. Seeds stay EAGER: both frames are referenced
+    # several times inside the first round's single job (neighbor join,
+    # jump self-join, label base) — a lazy checkpoint there lets
+    # concurrent stages race to compute the same RDD before its blocks
+    # land (measured ~2x round-1 cost when tried). The per-ROUND
+    # checkpoint below is lazy: referenced once by the convergence
+    # count that materializes it.
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges_cur = sym.localCheckpoint(eager=True)
     labels = (
-        sym.groupBy("a")
+        edges_cur.groupBy("a")
         .agg(F.min("b").alias("mn"))
         .select(F.col("a").alias("node"), F.least("a", "mn").alias("comp"))
-    )
-    # seeds stay EAGER: both frames are referenced several times inside
-    # the first round's single job (neighbor join, jump self-join,
-    # label base) — a lazy checkpoint there lets concurrent stages race
-    # to compute the same RDD before its blocks land (measured ~2x
-    # round-1 cost when tried). The per-ROUND checkpoint below is lazy:
-    # referenced once by the convergence count that materializes it.
-    edges_cur = sym.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
     if stats_out is not None:
         stats_out.append(
             {"sym_edges": edges_cur.count(), "nodes": labels.count()}
