@@ -33,8 +33,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .similarity import cosine_similarity
-
 
 def semantic_dedup(
     df: DataFrame,
@@ -62,22 +60,33 @@ def semantic_dedup(
     and -0.0 canonicalized via +0.0).
     """
     from .clustering import kmeans_assign
+    from .similarity import _dot, _norm
 
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("emb")
     )
-    assigned = kmeans_assign(v, centroids, vec_col="emb").select("id", "emb", "cluster")
+    # per-row norm computed ONCE before the pair join (identical float
+    # ops to the inline cosine — same fold, same division operands —
+    # but 1 array fold per pair instead of 3)
+    assigned = (
+        kmeans_assign(v, centroids, vec_col="emb")
+        .select("id", "emb", "cluster")
+        .withColumn("nrm", _norm(F.col("emb")))
+    )
     lower = assigned.select(
         F.col("cluster").alias("cluster_b"),
         F.col("id").alias("other_id"),
         F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     pairs = assigned.join(
         lower,
         (F.col("cluster") == F.col("cluster_b")) & (F.col("other_id") < F.col("id")),
         "left",
     )
-    cos = F.round(cosine_similarity(F.col("emb"), F.col("emb_b")), 6)
+    cos = F.round(
+        _dot(F.col("emb"), F.col("emb_b")) / (F.col("nrm") * F.col("nrm_b")), 6
+    )
     scored = pairs.select(
         "id",
         "cluster",

@@ -49,13 +49,20 @@ def brute_force_topk(
     """Exact top-k neighbors per query by cosine. The vector side
     streams (one scan, no shuffle of vectors); queries broadcast."""
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("qvec")
+        F.col(query_id_col), F.col(vec_col).alias("qvec"), _norm(F.col(vec_col)).alias("_qn")
     )
-    joined = vectors.alias("v").crossJoin(F.broadcast(q))
+    # norms hoisted to one fold per ROW instead of two per PAIR —
+    # identical float ops (same fold order, same division operands)
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_vn")
+    )
+    joined = v.alias("v").crossJoin(F.broadcast(q))
     scored = joined.select(
         F.col(query_id_col),
         F.col(f"v.{id_col}").alias(id_col),
-        F.round(cosine_similarity(F.col(f"v.{vec_col}"), F.col("qvec")), 6).alias("cosine"),
+        F.round(
+            _dot(F.col(f"v.{vec_col}"), F.col("qvec")) / (F.col("_vn") * F.col("_qn")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -159,19 +166,25 @@ def lsh_bucketed_topk(
     scoring, so each (query, vector) pair is scored once. Same output
     shape as brute_force_topk (rank within the candidate set)."""
     sig = hyperplane_signatures_udf(dim, bits, seed, tables)
+    # norms hoisted before the explode/join: one fold per row, not two
+    # per candidate pair (identical float ops)
     v = vectors.select(
-        F.col(id_col), F.col(vec_col), F.posexplode(sig(F.col(vec_col))).alias("t", "bucket")
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_vn"),
+        F.posexplode(sig(F.col(vec_col))).alias("t", "bucket"),
     )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("_qn"),
         F.posexplode(sig(F.col(vec_col))).alias("t", "bucket"),
     )
     joined = v.join(F.broadcast(q), ["t", "bucket"]).dropDuplicates([query_id_col, id_col])
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), F.col("qvec")), 6).alias("cosine"),
+        F.round(
+            _dot(F.col(vec_col), F.col("qvec")) / (F.col("_vn") * F.col("_qn")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -265,17 +278,23 @@ def ivf_topk(
 
         return vecs.map(one)
 
-    v = vectors.select(F.col(id_col), F.col(vec_col), _cell(F.col(vec_col)).alias("cell"))
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_vn"),
+        _cell(F.col(vec_col)).alias("cell"),
+    )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("_qn"),
         F.explode(_probe_cells(F.col(vec_col))).alias("cell"),
     )
     joined = v.join(F.broadcast(q), "cell")
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), F.col("qvec")), 6).alias("cosine"),
+        F.round(
+            _dot(F.col(vec_col), F.col("qvec")) / (F.col("_vn") * F.col("_qn")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
