@@ -329,7 +329,13 @@ def embedding_near_dup_pairs(
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     if bits > 0:
         sig = hyperplane_signature_udf(dim, bits)
-        b = v.select("id", sig(F.col("v")).alias("bucket"))
+        # eager localCheckpoint like the minhash signature frame: the
+        # bucket self-join references this frame on BOTH sides, and
+        # without pinning it Catalyst duplicates the whole signature-UDF
+        # subtree — two full Arrow passes over the corpus (plan-audited:
+        # 2x ArrowEvalPython, 2x the source scans). Fixed-width
+        # (id, bucket) rows only; vectors still rejoin at verify.
+        b = v.select("id", sig(F.col("v")).alias("bucket")).localCheckpoint(eager=True)
         if max_bucket is not None:
             b = _cap_hot_buckets(b, ["bucket"], max_bucket, "embedding_near_dup_pairs")
         cand = (
