@@ -375,7 +375,9 @@ class LakeTable:
 
     # ---- writes ----------------------------------------------------
 
-    def _write_snap(self, rows: DataFrame, seq: int, tag: str) -> dict[str, list[str]]:
+    def _write_snap(
+        self, rows: DataFrame, seq: int, tag: str, prepartitioned: bool = False
+    ) -> dict[str, list[str]]:
         snap_dir = f"{self.root}/data/snap-{seq:012d}-{tag}"
         out = rows.withColumn("__bucket", bucket_expr(self.num_buckets))
         # cluster rows by key within each file: repeated repo/path values
@@ -392,7 +394,14 @@ class LakeTable:
         # and couldn't grow past num_buckets on snapshots. Bucket
         # boundaries stay exact: the writer splits files by the
         # partitionBy value, and a bucket's rows hash to one partition.
-        out.repartition("__bucket").sortWithinPartitions(
+        # ``prepartitioned`` callers (apply_batch's AQE path) already
+        # partitioned the rows by (bucket, salt) BEFORE the chunking
+        # UDF, so the payload is not exchanged a second time here —
+        # each bucket then spans at most salt_buckets partitions, i.e.
+        # at most that many (advisory-sized) files per batch.
+        if not prepartitioned:
+            out = out.repartition("__bucket")
+        out.sortWithinPartitions(
             "__bucket", "repo", "path", "seq"
         ).write.partitionBy("__bucket").mode("overwrite").parquet(snap_dir)
         files: dict[str, list[str]] = {}
@@ -440,6 +449,7 @@ class LakeTable:
         batch_id: str,
         stats: dict | None = None,
         stats_fn=None,
+        prepartitioned: bool = False,
     ) -> dict:
         """MERGE commit: append the batch's upserts + tombstones as new
         delta files; compact any bucket whose file count exceeds the
@@ -457,7 +467,7 @@ class LakeTable:
         seq = (prev["commit_seq"] + 1) if prev else 0
         files = {k: list(v) for k, v in (prev["files"] if prev else {}).items()}
 
-        new_files = self._write_snap(delta_rows, seq, "delta")
+        new_files = self._write_snap(delta_rows, seq, "delta", prepartitioned=prepartitioned)
         if touched_buckets is None:
             touched_buckets = sorted(int(b) for b in new_files)
         if stats_fn is not None:

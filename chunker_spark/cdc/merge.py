@@ -10,11 +10,15 @@ scale:
    Spark plans this as partial→final hash aggregation (map-side combine
    absorbs hot keys before the shuffle, which is the scalable answer to
    monorepo skew for aggregation).
-4. **Salted repartition + manifest UDF** — explicit
-   ``repartition(P, repo, path, salt)`` with ``salt = xxhash64(commit)
+4. **Salted repartition + manifest UDF** — ``salt = xxhash64(commit)
    pmod S`` spreads a hot (repo,path) key over S partitions for the
    CPU-heavy chunking stage (AQE cannot split a hot key inside a UDF
-   stage; mandated by BASELINE.json north_rule).
+   stage; mandated by BASELINE.json north_rule). The default path
+   partitions by (BUCKET, salt) with AQE sizing, which both spreads
+   hot keys and already satisfies the write layout — the batch payload
+   crosses exactly ONE exchange per commit; an explicit
+   ``udf_partitions`` keeps the classic
+   ``repartition(P, repo, path, salt)`` + write-side bucket exchange.
 5. **Merge-on-read delta commit** — the batch's upserts + tombstones
    append as new bucket-partitioned files (O(batch) write volume);
    readers resolve last-writer-wins per key and compaction keeps
@@ -158,10 +162,38 @@ def apply_batch(
     # through as null. Cached only when the metrics path needs several
     # passes — the hot path is a single write action and caching it
     # would serialize every row into the memory store for nothing.
-    batch = with_manifest(
-        salted_repartition(last_writer_wins(events, broadcast_winners=use_broadcast), udf_partitions),
-        params=params,
-    )
+    #
+    # Partitioning (guide §2.4 — one exchange, not two): the default
+    # AQE path repartitions by (BUCKET, salt) before the chunking UDF,
+    # which spreads a hot (repo, path) key over the salt values exactly
+    # like the key-level salt did AND already satisfies the write
+    # layout — _write_snap skips its own bucket repartition, so the
+    # batch payload crosses ONE exchange per commit instead of two.
+    # AQE sizes the exchange, so a micro-batch coalesces to one
+    # advisory-sized partition (one file per bucket, the former
+    # layout) while a snapshot-scale batch fans out to at most
+    # salt_buckets files per bucket, each advisory-sized. An explicit
+    # ``udf_partitions`` (ingest-bench parallelism sweeps) keeps the
+    # former two-exchange pipeline so its file layout and ladder
+    # comparability are unchanged.
+    # The fused path is gated on the UNCACHED hot path: the metrics
+    # path caches the batch, and AQE cannot re-coalesce through an
+    # InMemoryRelation (canChangeCachedPlanOutputPartitioning=false),
+    # so a cached fused write fans a 20-row batch into one tiny file
+    # per (bucket, salt) group and storms compaction — measured 4
+    # files/bucket/batch vs 1. With metrics on, the classic write-side
+    # bucket exchange also restores the 1-file-per-bucket layout.
+    winners = last_writer_wins(events, broadcast_winners=use_broadcast)
+    if udf_partitions is None and not collect_metrics:
+        salt = F.pmod(
+            F.xxhash64(F.coalesce(F.col("commit"), F.lit(""))), F.lit(8)
+        )
+        spread = winners.repartition(bucket_expr(lake.num_buckets), salt)
+        prepartitioned = True
+    else:
+        spread = salted_repartition(winners, udf_partitions)
+        prepartitioned = False
+    batch = with_manifest(spread, params=params)
     if collect_metrics:
         batch = batch.cache()
     try:
@@ -254,7 +286,10 @@ def apply_batch(
                     stats["reused_chunks"] = 0
                 return stats
 
-            commit = lake.append_delta(delta, None, str(batch_id), stats_fn=_finish_stats)
+            commit = lake.append_delta(
+                delta, None, str(batch_id), stats_fn=_finish_stats,
+                prepartitioned=prepartitioned,
+            )
         else:
             # hot path: ONE Spark job per batch — the delta write itself
             # materializes the cache; touched buckets are read back from
@@ -262,6 +297,7 @@ def apply_batch(
             commit = lake.append_delta(
                 delta, None, str(batch_id),
                 stats={"lww_strategy": "broadcast" if use_broadcast else "shuffle"},
+                prepartitioned=prepartitioned,
             )
         return commit
     finally:
