@@ -457,9 +457,9 @@ class LakeTable:
         ``touched_buckets=None`` derives the touched set from the files
         the write actually produced (saves a pre-pass over the batch).
 
-        ``stats_fn``: optional ``callable(touched_buckets) -> dict``
-        invoked right after the delta files land and BEFORE the commit
-        JSON is renamed into place — so an Observation attached to
+        ``stats_fn``: optional ``callable(touched_buckets, new_files)
+        -> dict`` invoked right after the delta files land and BEFORE
+        the commit JSON is renamed into place — so an Observation attached to
         ``delta_rows`` has resolved, and ``current_commit()`` still
         names the PRIOR state (lineage joins against old state read
         consistently). Its result is merged over ``stats``."""
@@ -471,7 +471,7 @@ class LakeTable:
         if touched_buckets is None:
             touched_buckets = sorted(int(b) for b in new_files)
         if stats_fn is not None:
-            stats = {**(stats or {}), **stats_fn(list(touched_buckets))}
+            stats = {**(stats or {}), **stats_fn(list(touched_buckets), new_files)}
         for b, fl in new_files.items():
             files.setdefault(b, [])
             files[b].extend(fl)

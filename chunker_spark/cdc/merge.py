@@ -176,15 +176,14 @@ def apply_batch(
     # ``udf_partitions`` (ingest-bench parallelism sweeps) keeps the
     # former two-exchange pipeline so its file layout and ladder
     # comparability are unchanged.
-    # The fused path is gated on the UNCACHED hot path: the metrics
-    # path caches the batch, and AQE cannot re-coalesce through an
-    # InMemoryRelation (canChangeCachedPlanOutputPartitioning=false),
-    # so a cached fused write fans a 20-row batch into one tiny file
-    # per (bucket, salt) group and storms compaction — measured 4
-    # files/bucket/batch vs 1. With metrics on, the classic write-side
-    # bucket exchange also restores the 1-file-per-bucket layout.
+    # (No cache anywhere: the metrics path reads the just-written delta
+    # files for its reuse join instead of pinning the batch in memory —
+    # caching would also block AQE from re-coalescing the fused
+    # exchange, InMemoryRelation partitioning is frozen, which fanned a
+    # 20-row batch into one tiny file per (bucket, salt) group when
+    # tried.)
     winners = last_writer_wins(events, broadcast_winners=use_broadcast)
-    if udf_partitions is None and not collect_metrics:
+    if udf_partitions is None:
         salt = F.pmod(
             F.xxhash64(F.coalesce(F.col("commit"), F.lit(""))), F.lit(8)
         )
@@ -194,115 +193,116 @@ def apply_batch(
         spread = salted_repartition(winners, udf_partitions)
         prepartitioned = False
     batch = with_manifest(spread, params=params)
+    # merge-on-read delta: upserts keep their seq; deletes become
+    # tombstones. No table read, no join — the MERGE "match" is
+    # resolved lazily by readers (lake.resolve_state) and physically
+    # by amortized compaction. Write volume is O(batch).
+    delta = batch.select(
+        *[F.col(f.name) for f in TABLE_SCHEMA.fields],
+        F.col("seq"),
+        (F.col("op") == "D").alias("deleted"),
+    )
+
     if collect_metrics:
-        batch = batch.cache()
-    try:
-        # merge-on-read delta: upserts keep their seq; deletes become
-        # tombstones. No table read, no join — the MERGE "match" is
-        # resolved lazily by readers (lake.resolve_state) and physically
-        # by amortized compaction. Write volume is O(batch).
-        delta = batch.select(
-            *[F.col(f.name) for f in TABLE_SCHEMA.fields],
-            F.col("seq"),
-            (F.col("op") == "D").alias("deleted"),
+        # The metric sums RIDE the delta write via an Observation
+        # (CollectMetrics): per-bucket counts + conditional volume
+        # sums are collected as a side effect of the one write
+        # action instead of a separate aggregate job (the former
+        # dedicated collect was itself the r4 fix for THREE metric
+        # actions; this removes the remaining one — guide §1.2,
+        # fewer passes). The chunk-reuse join then reads the written
+        # delta files back (column-pruned), never a cached batch.
+        from pyspark.sql import Observation
+
+        from .lake import resolve_state
+
+        nb = lake.num_buckets
+        is_up = ~F.col("deleted")
+        obs = Observation()
+        delta = delta.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(is_up.cast("long")).alias("up_rows"),
+            F.coalesce(F.sum(F.when(is_up, F.col("size"))), F.lit(0)).alias("up_bytes"),
+            F.coalesce(F.sum(F.when(is_up, F.size("manifest"))), F.lit(0)).alias("up_chunks"),
+            *[
+                F.sum((bucket_expr(nb) == b).cast("long")).alias(f"b{b}")
+                for b in range(nb)
+            ],
         )
 
-        if collect_metrics:
-            # The metric sums RIDE the delta write via an Observation
-            # (CollectMetrics): per-bucket counts + conditional volume
-            # sums are collected as a side effect of the one write
-            # action instead of a separate aggregate job (the former
-            # dedicated collect was itself the r4 fix for THREE metric
-            # actions; this removes the remaining one — guide §1.2,
-            # fewer passes). The write also materializes the cache, so
-            # the chunk-reuse join below re-reads memory.
-            from pyspark.sql import Observation
+        def _finish_stats(touched: list[int], new_files: dict) -> dict:
+            """Runs inside append_delta AFTER the delta files land
+            (observation resolved, touched buckets known) and BEFORE
+            the commit JSON is written — the prior commit still
+            defines the old state for the reuse join. The reuse
+            side reads the JUST-WRITTEN delta files (column-pruned
+            to repo/path/manifest) rather than a cached copy of the
+            batch — same rows by construction, no cache memory, no
+            UDF recompute."""
+            vals = {k: int(v or 0) for k, v in obs.get.items()}  # empty batch: sums observe as null
+            per_bucket = {b: vals[f"b{b}"] for b in range(nb) if vals[f"b{b}"]}
+            stats = {
+                "upsert_rows": vals["up_rows"],
+                "upsert_bytes": vals["up_bytes"],
+                "upsert_chunks": vals["up_chunks"],
+                "delete_rows": vals["n"] - vals["up_rows"],
+                "keys_per_bucket": {str(b): n for b, n in sorted(per_bucket.items())},
+                "lww_strategy": "broadcast" if use_broadcast else "shuffle",
+            }
+            # chunk-reuse lineage compares only against prior
+            # versions of THIS batch's keys, so prune the old-state
+            # read to them BEFORE resolution: a broadcast semi-join
+            # on the key set keeps the metrics path O(batch keys'
+            # history) instead of O(touched buckets' full table
+            # data) — without it the lineage stats re-scan and
+            # re-resolve ever more table per batch as buckets fill
+            # (measured ~85s/1.6M events extra at local[1] on an
+            # un-pruned read; see BENCH/BASELINE.md r3). A first
+            # commit has no prior files at all: reuse is 0 by
+            # definition, no job launched.
+            new_paths = [p for fl in new_files.values() for p in fl]
+            if new_paths and lake._files_for(lake.current_commit(), touched):
+                from .schema import FILE_SCHEMA
 
-            from .lake import resolve_state
+                written = spark.read.schema(FILE_SCHEMA).parquet(*new_paths)
+                old_files = lake.read_files(buckets=touched)
+                # no distinct(): batch is post-LWW, one row per key
+                # by construction — the former distinct was a pure
+                # extra shuffle, and a semi-join build side needs no
+                # dedup anyway
+                batch_keys = written.select(*KEY_COLS)
+                # gate the broadcast on the SAME cardinality decision
+                # the LWW stage made: a >threshold-key batch already
+                # chose the shuffle path precisely because its key
+                # set cannot safely transit the driver —
+                # broadcasting it here would reopen that exact
+                # blowup. Shuffle semi-join in that regime.
+                if use_broadcast:
+                    batch_keys = F.broadcast(batch_keys)
+                old_state = resolve_state(
+                    old_files.join(batch_keys, list(KEY_COLS), "left_semi")
+                )
+                stats["reused_chunks"] = _reused_chunks(
+                    written.where(~F.col("deleted")), old_state
+                )
+            else:
+                stats["reused_chunks"] = 0
+            return stats
 
-            nb = lake.num_buckets
-            is_up = ~F.col("deleted")
-            obs = Observation()
-            delta = delta.observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.sum(is_up.cast("long")).alias("up_rows"),
-                F.coalesce(F.sum(F.when(is_up, F.col("size"))), F.lit(0)).alias("up_bytes"),
-                F.coalesce(F.sum(F.when(is_up, F.size("manifest"))), F.lit(0)).alias("up_chunks"),
-                *[
-                    F.sum((bucket_expr(nb) == b).cast("long")).alias(f"b{b}")
-                    for b in range(nb)
-                ],
-            )
-
-            def _finish_stats(touched: list[int]) -> dict:
-                """Runs inside append_delta AFTER the delta files land
-                (observation resolved, touched buckets known) and BEFORE
-                the commit JSON is written — the prior commit still
-                defines the old state for the reuse join."""
-                vals = {k: int(v or 0) for k, v in obs.get.items()}  # empty batch: sums observe as null
-                per_bucket = {b: vals[f"b{b}"] for b in range(nb) if vals[f"b{b}"]}
-                stats = {
-                    "upsert_rows": vals["up_rows"],
-                    "upsert_bytes": vals["up_bytes"],
-                    "upsert_chunks": vals["up_chunks"],
-                    "delete_rows": vals["n"] - vals["up_rows"],
-                    "keys_per_bucket": {str(b): n for b, n in sorted(per_bucket.items())},
-                    "lww_strategy": "broadcast" if use_broadcast else "shuffle",
-                }
-                # chunk-reuse lineage compares only against prior
-                # versions of THIS batch's keys, so prune the old-state
-                # read to them BEFORE resolution: a broadcast semi-join
-                # on the key set keeps the metrics path O(batch keys'
-                # history) instead of O(touched buckets' full table
-                # data) — without it the lineage stats re-scan and
-                # re-resolve ever more table per batch as buckets fill
-                # (measured ~85s/1.6M events extra at local[1] on an
-                # un-pruned read; see BENCH/BASELINE.md r3). A first
-                # commit has no prior files at all: reuse is 0 by
-                # definition, no job launched.
-                if lake._files_for(lake.current_commit(), touched):
-                    old_files = lake.read_files(buckets=touched)
-                    # no distinct(): batch is post-LWW, one row per key
-                    # by construction — the former distinct was a pure
-                    # extra shuffle, and a semi-join build side needs no
-                    # dedup anyway
-                    batch_keys = batch.select(*KEY_COLS)
-                    # gate the broadcast on the SAME cardinality decision
-                    # the LWW stage made: a >threshold-key batch already
-                    # chose the shuffle path precisely because its key
-                    # set cannot safely transit the driver —
-                    # broadcasting it here would reopen that exact
-                    # blowup. Shuffle semi-join in that regime.
-                    if use_broadcast:
-                        batch_keys = F.broadcast(batch_keys)
-                    old_state = resolve_state(
-                        old_files.join(batch_keys, list(KEY_COLS), "left_semi")
-                    )
-                    stats["reused_chunks"] = _reused_chunks(
-                        batch.where(F.col("op") != "D"), old_state
-                    )
-                else:
-                    stats["reused_chunks"] = 0
-                return stats
-
-            commit = lake.append_delta(
-                delta, None, str(batch_id), stats_fn=_finish_stats,
-                prepartitioned=prepartitioned,
-            )
-        else:
-            # hot path: ONE Spark job per batch — the delta write itself
-            # materializes the cache; touched buckets are read back from
-            # the files the write produced
-            commit = lake.append_delta(
-                delta, None, str(batch_id),
-                stats={"lww_strategy": "broadcast" if use_broadcast else "shuffle"},
-                prepartitioned=prepartitioned,
-            )
-        return commit
-    finally:
-        if collect_metrics:
-            batch.unpersist()
+        commit = lake.append_delta(
+            delta, None, str(batch_id), stats_fn=_finish_stats,
+            prepartitioned=prepartitioned,
+        )
+    else:
+        # hot path: ONE Spark action per batch — the delta write;
+        # touched buckets are derived from the files it produced
+        commit = lake.append_delta(
+            delta, None, str(batch_id),
+            stats={"lww_strategy": "broadcast" if use_broadcast else "shuffle"},
+            prepartitioned=prepartitioned,
+        )
+    return commit
 
 
 def bootstrap_snapshot(
