@@ -887,6 +887,22 @@ FROM read_parquet('{path}')
 _REPLAY_FIXTURE_DIR = "/tmp/chunker_spark_fixtures/cdc_replay_v1"
 
 
+def _replay_events(spark) -> DataFrame:
+    """Read the replay fixture with an explicit (all-nullable, matching
+    what inference would produce) schema: parquet schema inference runs
+    a one-task Spark job per read, and five cdc queries re-read this
+    fixture every bench pass — the explicit schema makes the read
+    job-free without changing a single plan downstream."""
+    from pyspark.sql.types import StructField, StructType
+
+    from chunker_spark.cdc.events import EVENT_SCHEMA
+
+    schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in EVENT_SCHEMA.fields]
+    )
+    return spark.read.schema(schema).parquet(_REPLAY_FIXTURE_DIR)
+
+
 def _ensure_replay_fixture() -> str:
     """Write the deterministic 300-event CDC fixture (seed 11, schema
     evolution at seq 100 and 200) as parquet, once. Called from both the
@@ -917,7 +933,7 @@ def q_cdc_replay(spark, sf):
     from chunker_spark.kernel import ChunkerParams
 
     _ensure_replay_fixture()
-    events = spark.read.parquet(_REPLAY_FIXTURE_DIR)
+    events = _replay_events(spark)
     lake = LakeTable(spark, tempfile.mkdtemp(prefix="q-cdc-"), num_buckets=4)
     params = ChunkerParams(average_bits=9, min_size=256, max_size=4096)
     apply_batch(lake, events.where(F.col("seq") < 150), "q0", params=params, collect_metrics=False)
@@ -1117,7 +1133,7 @@ def q_cdc_changes(spark, sf):
     from chunker_spark.kernel import ChunkerParams
 
     _ensure_replay_fixture()
-    events = spark.read.parquet(_REPLAY_FIXTURE_DIR)
+    events = _replay_events(spark)
     lake = LakeTable(spark, tempfile.mkdtemp(prefix="q-cdf-"), num_buckets=4)
     params = ChunkerParams(average_bits=9, min_size=256, max_size=4096)
     apply_batch(lake, events.where(F.col("seq") < 150), "c0", params=params, collect_metrics=False)
@@ -2003,7 +2019,7 @@ def q_cdc_lineage(spark, sf):
     from chunker_spark.kernel import ChunkerParams
 
     _ensure_replay_fixture()
-    events = spark.read.parquet(_REPLAY_FIXTURE_DIR)
+    events = _replay_events(spark)
     root = tempfile.mkdtemp(prefix="q-lin-")
     lake = LakeTable(spark, root, num_buckets=4)
     params = ChunkerParams(average_bits=9, min_size=256, max_size=4096)
@@ -2053,7 +2069,7 @@ def q_cdc_timetravel(spark, sf):
     from chunker_spark.kernel import ChunkerParams
 
     _ensure_replay_fixture()
-    events = spark.read.parquet(_REPLAY_FIXTURE_DIR)
+    events = _replay_events(spark)
     lake = LakeTable(spark, tempfile.mkdtemp(prefix="q-tt-"), num_buckets=4)
     params = ChunkerParams(average_bits=9, min_size=256, max_size=4096)
     apply_batch(lake, events.where(F.col("seq") < 150), "t0", params=params, collect_metrics=False)
@@ -2097,7 +2113,7 @@ def q_cdc_compact(spark, sf):
     from chunker_spark.cdc.logcompact import compact_log
 
     _ensure_replay_fixture()
-    events = spark.read.parquet(_REPLAY_FIXTURE_DIR)
+    events = _replay_events(spark)
     c = compact_log(events, tombstone_horizon=150)
     return c.select(
         "repo", "path", "seq", "op",
