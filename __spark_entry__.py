@@ -39,8 +39,27 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 
+#: per-process parquet schema cache — METADATA only, a metastore in
+#: miniature. Every bare spark.read.parquet runs a one-task
+#: footer/schema-inference job (~0.1 s warm, measured); the suite
+#: re-reads the same few dozen fixed paths 100+ times per bench pass.
+#: The schema is inferred once per path and passed explicitly on later
+#: reads — plan-identical (the cached schema IS the inferred one), and
+#: no data or results are ever cached: every read still scans parquet.
+_PQ_SCHEMAS: dict = {}
+
+
+def _pq(spark: SparkSession, path: str) -> DataFrame:
+    sch = _PQ_SCHEMAS.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _PQ_SCHEMAS[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _pq(spark, f"{sf_dir}/{name}.parquet")
 
 
 #: planted-duplicate id shift for the completeness-invariant oracles
@@ -864,7 +883,7 @@ def q_media_features(spark, sf):
     (2) every feature vector is unit-norm (Σx² rounds to 1.0)."""
     from chunker_spark.ops.multimodal import extract_features, media_fixture_path
 
-    media = spark.read.parquet(media_fixture_path(n=48)).select("media_id", "kind", "payload")
+    media = _pq(spark, media_fixture_path(n=48)).select("media_id", "kind", "payload")
     f = extract_features(media, dim=8)
     sq_norm = F.aggregate(
         "feature", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
@@ -1338,7 +1357,7 @@ def q_debezium_parse(spark, sf):
     with DuckDB's JSON functions."""
     from chunker_spark.cdc.envelopes import debezium_fixture_path, split_malformed
 
-    raw = spark.read.parquet(debezium_fixture_path())
+    raw = _pq(spark, debezium_fixture_path())
     clean, _dlq = split_malformed(raw)
     w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
     return (
@@ -1396,7 +1415,7 @@ def q_outbox_route(spark, sf):
     router rules from the same fixture with DuckDB JSON functions."""
     from chunker_spark.cdc.outbox import outbox_fixture_path, route_outbox
 
-    raw = spark.read.parquet(outbox_fixture_path())
+    raw = _pq(spark, outbox_fixture_path())
     return route_outbox(raw).select(
         "event_id", "destination", "aggregate_id", "event_type", "seq", "payload"
     )
@@ -1454,8 +1473,8 @@ def q_dblog_snapshot(spark, sf):
 
     p = dblog_fixture_paths()
     stream = interleave_snapshot(
-        spark.read.parquet(p["changes"]),
-        spark.read.parquet(p["chunks"]),
+        _pq(spark, p["changes"]),
+        _pq(spark, p["chunks"]),
         ["repo", "path"],
     )
     return resolve_final_state(stream, ["repo", "path"]).select(
@@ -1496,7 +1515,7 @@ def q_toast_fill(spark, sf):
     DuckDB's IGNORE NULLS windows from the same fixture."""
     from chunker_spark.cdc.toast import fill_unavailable, toast_fixture_path
 
-    df = spark.read.parquet(toast_fixture_path())
+    df = _pq(spark, toast_fixture_path())
     return fill_unavailable(df, ["repo", "path"], ["content", "meta"]).select(
         "repo", "path", "seq", "op", "content", "meta", "toast_unresolved"
     )
@@ -1551,7 +1570,7 @@ def q_pk_rename(spark, sf):
     from chunker_spark.cdc.dblog import resolve_final_state
     from chunker_spark.cdc.keychange import rename_fixture_path, split_key_changes
 
-    df = spark.read.parquet(rename_fixture_path())
+    df = _pq(spark, rename_fixture_path())
     split = split_key_changes(df, ["repo", "path"])
     return resolve_final_state(split, ["repo", "path"], out_seq_col="seq").select(
         "repo", "path", "content"
@@ -1598,7 +1617,7 @@ def q_maxwell_parse(spark, sf):
         split_malformed,
     )
 
-    raw = spark.read.parquet(maxwell_fixture_path())
+    raw = _pq(spark, maxwell_fixture_path())
     clean, _dlq = split_malformed(raw, parser=parse_maxwell)
     w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
     return (
@@ -1660,7 +1679,7 @@ def q_wal2json_parse(spark, sf):
         wal2json_fixture_path,
     )
 
-    raw = spark.read.parquet(wal2json_fixture_path())
+    raw = _pq(spark, wal2json_fixture_path())
     clean, _dlq = split_malformed(raw, parser=parse_wal2json)
     w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
     return (
@@ -1736,7 +1755,7 @@ def q_canal_parse(spark, sf):
         split_malformed,
     )
 
-    raw = spark.read.parquet(canal_fixture_path())
+    raw = _pq(spark, canal_fixture_path())
     clean, _dlq = split_malformed(raw, parser=parse_canal)
     w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
     return (
@@ -1808,7 +1827,7 @@ def q_dms_parse(spark, sf):
         split_malformed,
     )
 
-    raw = spark.read.parquet(dms_fixture_path())
+    raw = _pq(spark, dms_fixture_path())
     clean, _dlq = split_malformed(raw, parser=parse_dms)
     w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
     return (
@@ -1877,7 +1896,7 @@ def q_mongo_parse(spark, sf):
         split_malformed,
     )
 
-    raw = spark.read.parquet(mongo_fixture_path())
+    raw = _pq(spark, mongo_fixture_path())
     clean, _dlq = split_malformed(raw, parser=parse_mongo)
     w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
     return (
@@ -1946,7 +1965,7 @@ def q_goldengate_parse(spark, sf):
         split_malformed,
     )
 
-    raw = spark.read.parquet(goldengate_fixture_path())
+    raw = _pq(spark, goldengate_fixture_path())
     clean, _dlq = split_malformed(raw, parser=parse_goldengate)
     w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
     return (
@@ -2026,7 +2045,11 @@ def q_cdc_lineage(spark, sf):
     for i, pred in enumerate([F.col("seq") < 150, F.col("seq") >= 150]):
         commit = apply_batch(lake, events.where(pred), f"m{i}", params=params)
         _append_metrics(lake, commit, f"m{i}")
-    m = spark.read.parquet(f"{lake.root}/metrics")
+    m = spark.read.schema(
+        "commit_seq long, batch_id string, bucket long, bucket_keys long, "
+        "upsert_rows long, upsert_bytes long, upsert_chunks long, "
+        "reused_chunks long, delete_rows long"
+    ).parquet(f"{lake.root}/metrics")  # fixed engine-written schema; path is per-call tmpdir
     return m.groupBy("batch_id").agg(
         F.first("upsert_rows").alias("upsert_rows"),
         F.first("delete_rows").alias("delete_rows"),
@@ -2156,7 +2179,7 @@ def q_txn_gate_release(spark, sf):
     )
     from chunker_spark.cdc.txn import TxnGate
 
-    raw = spark.read.parquet(wal2json_txn_fixture_path())
+    raw = _pq(spark, wal2json_txn_fixture_path())
     state = "/tmp/chunker_spark_fixtures/txn_gate_query_state"
     shutil.rmtree(state, ignore_errors=True)
     gate = TxnGate(spark, state)

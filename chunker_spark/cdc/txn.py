@@ -62,6 +62,10 @@ class TxnGate:
         self.spark = spark
         self.state_dir = state_dir
         self.keep_snapshots = keep_snapshots
+        #: pending-snapshot schema, remembered at write time so reads
+        #: skip the per-read parquet schema-inference job; a fresh gate
+        #: (restart/redelivery) falls back to inference once
+        self._pending_schema = None
 
     # -- snapshot bookkeeping ------------------------------------------
     def _versions(self) -> list[int]:
@@ -85,7 +89,10 @@ class TxnGate:
             vs = [v for v in vs if v < batch_id]
         if not vs:
             return None
-        return self.spark.read.parquet(f"{self.state_dir}/v={vs[-1]}")
+        reader = self.spark.read
+        if self._pending_schema is not None:
+            reader = reader.schema(self._pending_schema)
+        return reader.parquet(f"{self.state_dir}/v={vs[-1]}")
 
     def _prune(self, batch_id: int) -> None:
         keep = set(v for v in self._versions() if v <= batch_id)
@@ -131,5 +138,6 @@ class TxnGate:
         pending.coalesce(1).write.mode("overwrite").parquet(
             f"{self.state_dir}/v={batch_id}"
         )
+        self._pending_schema = pending.schema
         self._prune(batch_id)
         return unframed.unionByName(released)
