@@ -10,10 +10,12 @@ Scale design (100 TB):
 - One explode pass over the text; everything downstream is
   fixed-width (term, counts) rows — the document text is dropped at
   the tokenizer and never shuffles.
-- Both aggregates (per-(group,term) occurrence counts and per-term
-  document frequency) hash-partition on the term, so the heavy join
-  between them is co-partitioned — AQE plans it without a broadcast
-  dependency on either side's size.
+- ONE aggregate computes both statistics: per-(group,term) occurrence
+  totals and per-cell distinct-document counts; the corpus-wide
+  document frequency is then an integer window sum over the aggregate
+  rows (each document has exactly one group value, so per-group
+  distinct counts partition the per-term distinct set). The former
+  second explode pass, per-term aggregate and tf⋈df join are gone.
 - The corpus-size scalar N rides in as a broadcast single-row frame.
 - Float discipline for cross-engine parity: per-(group,term) score is
   total_tf * ln((N+1)/(df+1)) — the term frequencies are summed as
@@ -57,15 +59,22 @@ def tfidf_top_terms(
             )
         ).alias("term"),
     )
-    # occurrence totals per (group, term): integer, exact
-    tf = terms.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("total_tf"))
-    # document frequency per term (corpus-wide, partial-agg friendly)
-    dfreq = terms.groupBy("term").agg(
-        F.countDistinct(id_col).alias("doc_freq")
+    # ONE aggregate over the exploded terms computes both statistics
+    # (guide §1.2 — one pass, not two): occurrence totals per
+    # (group, term) plus that cell's distinct-document count. Because a
+    # document carries exactly one ``group_col`` value (it is a column
+    # of the per-document row), the corpus-wide document frequency of a
+    # term is the exact integer sum of its per-group distinct counts —
+    # a window sum over the tiny aggregate rows, replacing the former
+    # second explode pass + per-term aggregate + join.
+    per_cell = terms.groupBy(group_col, "term").agg(
+        F.count(F.lit(1)).alias("total_tf"),
+        F.countDistinct(id_col).alias("_docs"),
     )
+    dfreq_w = Window.partitionBy("term")
     n_docs = df.select(F.countDistinct(id_col).alias("_n"))
     scored = (
-        tf.join(dfreq, "term")
+        per_cell.withColumn("doc_freq", F.sum("_docs").over(dfreq_w))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
