@@ -779,12 +779,21 @@ def q_simhash(spark, sf):
     reversed_text = F.concat_ws(" ", F.reverse(words))
     # two-step projection so the base hash is evaluated ONCE (it
     # appears in both invariant comparisons — inlined it would run 4
-    # simhash evaluations per doc instead of 3)
-    h = d.select(
+    # simhash evaluations per doc instead of 3). The text variants are
+    # pre-projected to named columns so all three simhash_expr calls
+    # take the single-py4j-call SQL fast path; the optimizer collapses
+    # the adjacent projections, so the executed plan is unchanged.
+    pre = d.select(
+        "doc_id",
+        "text",
+        reversed_text.alias("_rev"),
+        F.upper(F.col("text")).alias("_up"),
+    )
+    h = pre.select(
         "doc_id",
         simhash_expr("text").alias("h_base"),
-        simhash_expr(reversed_text).alias("h_rev"),
-        simhash_expr(F.upper(F.col("text"))).alias("h_up"),
+        simhash_expr("_rev").alias("h_rev"),
+        simhash_expr("_up").alias("h_up"),
     )
     return h.select(
         "doc_id",

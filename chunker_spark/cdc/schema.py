@@ -86,13 +86,41 @@ def canonical_field(name: str) -> F.Column:
     return expr.alias(name)
 
 
+def _canonical_sql(name: str) -> str:
+    """``canonical_field`` as SQL text, compiled once at import: the
+    registry is a module constant, so the CASE chains never change —
+    re-building them as Column objects on every call cost ~15 py4j
+    round trips per field (~0.07 s per normalize_events call, two calls
+    per commit). Identical semantics, flattened: a version whose
+    sources are all the same column collapses to the bare column (the
+    nested whens picked the same value on every branch, including the
+    null-schema_ver fallthrough)."""
+    sources = FIELD_SOURCES[name]
+
+    def ref(src: str | None) -> str:
+        if src:
+            return f"`{src}`"
+        d = FIELD_DEFAULTS.get(name)
+        return "NULL" if d is None else "'" + str(d).replace("'", "''") + "'"
+
+    vers = sorted(sources)
+    refs = {v: ref(sources[v]) for v in vers}
+    if len(set(refs.values())) == 1:
+        expr = refs[vers[0]]
+    else:
+        whens = " ".join(
+            f"WHEN `schema_ver` >= {int(v)} THEN {refs[v]}"
+            for v in reversed(vers[1:])
+        )
+        expr = f"CASE {whens} ELSE {refs[vers[0]]} END"
+    return f"{expr} AS `{name}`"
+
+
+_CANONICAL_SQL: tuple[str, ...] = tuple(_canonical_sql(n) for n in FIELD_SOURCES)
+
+
 def normalize_events(events: DataFrame) -> DataFrame:
     """Project raw versioned events onto the canonical event shape
     (seq, ts, op + canonical fields). Pure projection: Catalyst prunes
     unused physical columns down to the scan."""
-    return events.select(
-        F.col("seq"),
-        F.col("ts"),
-        F.col("op"),
-        *[canonical_field(name) for name in FIELD_SOURCES],
-    )
+    return events.selectExpr("seq", "ts", "op", *_CANONICAL_SQL)

@@ -45,6 +45,36 @@ def _sq_dist(vec_col: F.Column, centroid: list[float]) -> F.Column:
     )
 
 
+def _double_sql(x: float) -> str:
+    """A double literal as SQL text, exact: Python's repr is the
+    shortest round-trip decimal form and Spark's string->double cast is
+    correctly rounded, so the parsed double is bit-identical."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _dist_structs_sql(vec_col: str, centroids: list[tuple[int, list[float]]]) -> str:
+    """The k-way (distance, centroid-id) struct array as ONE SQL
+    expression string. Semantically identical to the Column-by-Column
+    construction (same fold order, same round-before-argmin, same
+    tie-break on cid via struct comparison) — but built with a single
+    py4j call instead of ~k*(dim+10): with k=8 d=64 the per-element
+    ``F.lit`` path costs ~500 driver round trips (~0.4 s) EVERY time an
+    assignment stage is planned, which ``kmeans_fit`` pays once per
+    Lloyd iteration and every query build pays once. Catalyst
+    constant-folds the cast literals, so the generated code is the
+    same literal-centroid codegen as before."""
+    v_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    parts = []
+    for cid, vec in centroids:
+        arr = "array(" + ",".join(_double_sql(x) for x in vec) + ")"
+        parts.append(
+            f"struct(round(aggregate(zip_with({v_sql}, {arr}, "
+            "(a, b) -> (a - b) * (a - b)), CAST('0.0' AS DOUBLE), "
+            f"(acc, x) -> acc + x), 6) AS d, {int(cid)} AS cid)"
+        )
+    return "array(" + ",".join(parts) + ")"
+
+
 def kmeans_assign(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -60,17 +90,7 @@ def kmeans_assign(
     """
     if not centroids:
         raise ValueError("centroids must be non-empty")
-    v = F.col(vec_col).cast("array<double>")
-    dist_structs = F.array(
-        *[
-            F.struct(
-                F.round(_sq_dist(v, vec), 6).alias("d"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, vec in centroids
-        ]
-    )
-    best = F.array_min(dist_structs)
+    best = F.array_min(F.expr(_dist_structs_sql(vec_col, centroids)))
     return df.withColumn("cluster", best["cid"]).withColumn("sq_dist", best["d"])
 
 
